@@ -1,0 +1,55 @@
+"""Single source of truth for dedup configuration.
+
+The north rule requires the engine and the recall oracle to run "identical
+shingle/signature configs" (BASELINE.json:6) — both read this dataclass, so
+they can never diverge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+import hashlib
+import json
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- caption shingling (P2) ---
+    shingle_k: int = 5            # char-level k-gram width (bytes of NFC text)
+    # --- MinHash (P3) ---
+    num_perm: int = 128           # permutations n
+    minhash_seed: int = 4242
+    mersenne_prime: int = (1 << 61) - 1
+    # --- LSH banding (P4) ---
+    num_bands: int = 32           # b bands
+    rows_per_band: int = 4        # r rows;  b*r == num_perm
+    # --- candidate verification (P7) ---
+    jaccard_tau: float = 0.7
+    # --- skew handling (P6) ---
+    bucket_cap: int = 64          # buckets larger than this are capped+logged
+    # --- phash Hamming (P8) ---
+    hamming_radius: int = 2       # r bit flips tolerated
+    phash_bits: int = 64
+    # --- substring containment (P9) ---
+    anchor_gram: int = 12         # anchor g-gram width for containment join
+    min_contained_len: int = 16   # ignore captions shorter than this as "contained"
+    # --- connected components (P11) ---
+    cc_max_iters: int = 25
+    # --- misc ---
+    seed: int = 4242
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"num_bands*rows_per_band ({self.num_bands}*{self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of the config — keyed into checkpoint manifests so a
+        resume never mixes state from a different configuration."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,149 @@
+"""DataFrame validation gate: `apply_gate` / `gate_filter`.
+
+Mirrors the reference entry points (validate -> issue|nothing,
+src/validation.jl:68-72) as a DataFrame transform:
+
+    out = apply_gate(df, schema)          # typed-column mode
+    out = apply_gate(df, schema, json_col="props")   # dynamic JSON mode
+
+adds two columns:
+    issue   : struct(path, instance, reason, value) — NULL when valid
+    isvalid : boolean = issue IS NULL
+
+Backend selection (the pushable/residual split, SURVEY §4.2):
+  1. typed mode + fully native-translatable schema -> pure Column expressions
+     (whole-stage codegen, pushdown-capable, zero Python);
+  2. otherwise -> one Arrow-batched pandas UDF running the dict-tree
+     validator (exact reference semantics).  Typed rows are serialized via
+     to_json(struct(*)) — Spark drops NULL fields, which realizes the
+     documented null==absent narrowing for typed columns.
+`gate_filter` additionally pushes the derivable native necessary-condition
+ahead of the UDF so the scan prunes rows before they reach Python.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from jsonschema_jl_spark.gate.schema import Schema
+from jsonschema_jl_spark.gate.validator import _validate
+from jsonschema_jl_spark.gate.compiler import (
+    ISSUE_TYPE,
+    NotNativelyCompilable,
+    checks_to_issue_column,
+    compile_native_checks,
+    necessary_condition,
+)
+
+_ISSUE_FIELDS = ["path", "instance", "reason", "value"]
+
+
+def _issue_record(x: Any, schema_data: Any) -> dict | None:
+    issue = _validate(x, schema_data, "")
+    if issue is None:
+        return None
+    return {
+        "path": issue.path,
+        "instance": json.dumps(issue.x, default=str),
+        "reason": issue.reason,
+        "value": json.dumps(issue.val, default=str),
+    }
+
+
+def _make_gate_udf(schema_data: Any):
+    """Arrow-batched scalar pandas UDF: JSON text -> issue struct.
+
+    The compiled schema dict is captured by closure and shipped once per
+    task via the pickled UDF (broadcast-equivalent in local mode).  Absent
+    keys stay absent (json.loads dict), so required/absent-vs-null semantics
+    match the reference exactly (src/validation.jl:755-766)."""
+
+    @F.pandas_udf(ISSUE_TYPE)
+    def gate_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in batch_iter:
+            out = {f: [] for f in _ISSUE_FIELDS}
+            for raw in s:
+                if raw is None:
+                    rec = _issue_record(None, schema_data)
+                else:
+                    try:
+                        rec = _issue_record(json.loads(raw), schema_data)
+                    except (json.JSONDecodeError, TypeError):
+                        rec = {
+                            "path": "",
+                            "instance": str(raw)[:256],
+                            "reason": "json",
+                            "value": "malformed JSON",
+                        }
+                for f in _ISSUE_FIELDS:
+                    out[f].append(None if rec is None else rec[f])
+            yield pd.DataFrame(out)
+
+    return gate_udf
+
+
+def compile_issue_column(
+    df: DataFrame, schema: Schema | dict | bool | str, json_col: str | None = None
+) -> tuple[Column, bool]:
+    """Return (issue Column, used_native)."""
+    if not isinstance(schema, Schema):
+        schema = Schema(schema)
+    if json_col is not None:
+        udf = _make_gate_udf(schema.data)
+        return udf(F.col(json_col)), False
+    try:
+        checks = compile_native_checks(schema, df.schema)
+        return checks_to_issue_column(checks), True
+    except NotNativelyCompilable:
+        udf = _make_gate_udf(schema.data)
+        return udf(F.to_json(F.struct(*[F.col(c) for c in df.columns]))), False
+
+
+def apply_gate(
+    df: DataFrame,
+    schema: Schema | dict | bool | str,
+    json_col: str | None = None,
+    issue_col: str = "issue",
+    valid_col: str = "isvalid",
+) -> DataFrame:
+    """Annotate every row with its first validation issue (or NULL)."""
+    issue, used_native = compile_issue_column(df, schema, json_col)
+    if not used_native:
+        # UDF returns a struct of NULL fields for valid rows; normalize to a
+        # truly-NULL struct so `issue IS NULL` <=> valid (SURVEY §1.2)
+        issue = F.when(issue["reason"].isNotNull(), issue).otherwise(
+            F.lit(None).cast(ISSUE_TYPE)
+        )
+    out = df.withColumn(issue_col, issue)
+    return out.withColumn(valid_col, F.col(issue_col).isNull())
+
+
+def gate_filter(
+    df: DataFrame,
+    schema: Schema | dict | bool | str,
+    json_col: str | None = None,
+) -> DataFrame:
+    """Keep only valid rows.  Native schemas become plain pushdown-capable
+    predicates; residual schemas get a native necessary-condition prefilter
+    before the pandas-UDF verdict."""
+    if not isinstance(schema, Schema):
+        schema = Schema(schema)
+    if json_col is None:
+        try:
+            checks = compile_native_checks(schema, df.schema)
+            cond = None
+            for chk in checks:
+                c = ~F.coalesce(chk.fail, F.lit(False))
+                cond = c if cond is None else (cond & c)
+            return df if cond is None else df.filter(cond)
+        except NotNativelyCompilable:
+            pre = necessary_condition(schema, df.schema)
+            if pre is not None:
+                df = df.filter(pre)
+    gated = apply_gate(df, schema, json_col=json_col, issue_col="__issue", valid_col="__ok")
+    return gated.filter(F.col("__ok")).drop("__issue", "__ok")
