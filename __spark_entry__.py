@@ -1,38 +1,517 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()    — flagship: gate -> MinHash/LSH -> verify -> phash -> containment
+             -> connected components over an images table derived from the
+             sf0.001 documents parquet (input_hint shape) with planted dups.
+queries()  — one entry per implemented operator (SURVEY.md §2 / §2.11).
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
+Non-SQL-expressible kernels (MinHash signatures over our private hash
+permutations, hyperplane-LSH buckets, the image pipeline itself) are
+rows-only entries.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from jsonschema_jl_spark.config import DedupConfig
+from jsonschema_jl_spark.gate.gate import apply_gate
+from jsonschema_jl_spark.operators import textops
+from jsonschema_jl_spark.operators.similarity import (
+    cosine_topk,
+    exact_dedup,
+    lsh_ann_pairs,
+    ngram_token_pairs,
+)
+from jsonschema_jl_spark.operators.minhash import with_signatures
+from jsonschema_jl_spark.operators.components import connected_components
+from jsonschema_jl_spark.operators.pipeline import dedup_pipeline
+from jsonschema_jl_spark.datagen.from_documents import images_from_documents
+
+CFG = DedupConfig()
+
+# normalized text, shared by engine (textops.normalized_text) and oracle
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/part.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    images = images_from_documents(spark, "/root/testdata/sf0.001")
+    res = dedup_pipeline(images, CFG)
+    sizes = res.labels.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        res.labels.join(sizes, "component")
+        .select("image_id", "component", "n_members")
+        .orderBy("image_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gate queries
+# ---------------------------------------------------------------------------
+
+_EVENTS_DYN_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 90}},
+}
+
+
+def q_gate_events_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = apply_gate(_events(spark, sf_dir), _EVENTS_DYN_SCHEMA, json_col="props")
+    return out.select("event_id", "isvalid")
+
+
+_PART_SCHEMA = {
+    "type": "object",
+    "required": ["p_partkey", "p_name", "p_type", "p_size"],
+    "properties": {
+        "p_name": {"type": "string", "minLength": 5, "pattern": "^[a-z ]+$"},
+        "p_retailprice": {"type": "number", "maximum": 990},
+        "p_size": {"type": "integer", "minimum": 5, "maximum": 45},
+        "p_type": {"enum": ["ECONOMY", "STANDARD", "PROMO", "MEDIUM"]},
+    },
+}
+
+
+def q_gate_part_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = apply_gate(_part(spark, sf_dir), _PART_SCHEMA)
+    return out.select("p_partkey", "isvalid", F.col("issue.reason").alias("reason"))
+
+
+_DOCS_SCHEMA = {
+    "type": "object",
+    "required": ["doc_id", "text"],
+    "properties": {
+        "lang": {"enum": ["en", "de", "fr", "es", "zh"]},
+        "n_chars": {"type": "integer", "minimum": 50, "maximum": 520},
+        "text": {"type": "string", "minLength": 60, "maxLength": 400},
+    },
+}
+
+
+def q_gate_docs_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = apply_gate(_docs(spark, sf_dir), _DOCS_SCHEMA)
+    return out.select("doc_id", "isvalid", F.col("issue.reason").alias("reason"))
+
+
+_EVENTS_ONEOF_SCHEMA = {
+    "type": "object",
+    "required": ["value"],
+    "properties": {"value": {"oneOf": [{"maximum": 100}, {"minimum": 50}]}},
+}
+
+
+def q_gate_events_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-level combinators are not native-compilable -> exercises the
+    # residual to_json + dict-tree UDF backend on a typed table
+    out = apply_gate(_events(spark, sf_dir), _EVENTS_ONEOF_SCHEMA)
+    return out.select("event_id", "isvalid")
+
+
+_EVENTS_IF_SCHEMA = {
+    "type": "object",
+    "required": ["event_type", "value"],
+    "if": {"properties": {"event_type": {"const": "error"}}},
+    "then": {"properties": {"value": {"maximum": 250}}},
+    "else": {"properties": {"value": {"maximum": 450}}},
+}
+
+
+def q_gate_events_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = apply_gate(_events(spark, sf_dir), _EVENTS_IF_SCHEMA)
+    return out.select("event_id", "isvalid")
+
+
+# ---------------------------------------------------------------------------
+# dedup / text queries over documents
+# ---------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir)).select("fp", "canonical_id", "n_dups")
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textops.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        textops.token_count(c).alias("n_tokens"),
+        F.round(textops.stopword_ratio(c), 6).alias("stop_ratio"),
+        textops.quality_score(c).alias("quality"),
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", textops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textops.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textops.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_doc_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = with_signatures(d, text_col="text", cfg=CFG)
+    return sigs.select("doc_id", F.size("shingles").cast("long").alias("n_shingles"))
+
+
+def q_doc_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_token_pairs(_docs(spark, sf_dir), n=3, anchor_cap=200).select(
+        "src", "dst", "shared_ngrams"
+    )
+
+
+def q_doc_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 50).cast("long").alias("lb"),
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("ph"),
+    )
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, ["lang", "lb"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph"))))
+        .filter(F.col("hamming") <= 28)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"), "hamming")
+    )
+
+
+def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    edges = (
+        ngram_token_pairs(d, n=3, anchor_cap=200)
+        .filter(F.col("shared_ngrams") >= 3)
+        .select("src", "dst")
+    )
+    labels = connected_components(edges, vertices=d.select("doc_id"), max_iters=30)
+    return labels.select(F.col("id").alias("doc_id"), F.col("component"))
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    dbl = emb.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = dbl.filter(F.col("vec_id") < 50)
+    return cosine_topk(dbl, k=3, queries=queries).select(
+        "query_id", "neighbor_id", "rank", "cos"
+    )
+
+
+def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: hyperplane signs use engine-private random planes
+    emb = _emb(spark, sf_dir)
+    return lsh_ann_pairs(emb, dim=64, n_planes=10, n_tables=4, min_cos=0.6)
+
+
+# ---------------------------------------------------------------------------
+# image pipeline (rows-only: datagen + private minhash permutations)
+# ---------------------------------------------------------------------------
+
+def q_images_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = images_from_documents(spark, sf_dir)
+    res = dedup_pipeline(images, CFG)
+    return (
+        res.labels.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("n_members")
+    )
+
+
+def q_images_gate_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jsonschema_jl_spark.operators.pipeline import IMAGES_GATE_SCHEMA
+
+    images = images_from_documents(spark, sf_dir)
+    out = apply_gate(images, IMAGES_GATE_SCHEMA)
+    return (
+        out.groupBy(F.col("issue.reason").alias("reason"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("reason").asc_nulls_first())
+    )
+
+
+def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: signature values depend on engine-private permutations
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = with_signatures(d, text_col="text", cfg=CFG)
+    return sigs.select("doc_id", F.size("minhash").alias("sig_len"), "minhash")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "gate_events_dynamic": q_gate_events_dynamic,
+        "gate_part_typed": q_gate_part_typed,
+        "gate_docs_typed": q_gate_docs_typed,
+        "gate_events_oneof": q_gate_events_oneof,
+        "gate_events_conditional": q_gate_events_conditional,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_count": q_doc_token_count,
+        "doc_text_features": q_doc_text_features,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_simhash": q_doc_simhash,
+        "doc_shingle_count": q_doc_shingle_count,
+        "doc_ngram_pairs": q_doc_ngram_pairs,
+        "doc_hamming_pairs": q_doc_hamming_pairs,
+        "doc_components": q_doc_components,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_ann_pairs": q_emb_ann_pairs,
+        "images_dedup_clusters": q_images_dedup_clusters,
+        "images_gate_breakdown": q_images_gate_breakdown,
+        "doc_minhash_signatures": q_doc_minhash_signatures,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "'the','and','of','to','a','in','is','that','it','for'"
+_STOP_DE = "'der','die','und','das','ist','nicht','ein','mit','für','auf'"
+_STOP_FR = "'le','la','et','les','des','est','une','dans','pour','que'"
+
+_TOKC = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+_HITS = {
+    "en": f"CAST(len(list_filter(string_split({_NORM_SQL}, ' '), x -> x IN ({_STOP_EN}))) AS DOUBLE)",
+    "de": f"CAST(len(list_filter(string_split({_NORM_SQL}, ' '), x -> x IN ({_STOP_DE}))) AS DOUBLE)",
+    "fr": f"CAST(len(list_filter(string_split({_NORM_SQL}, ' '), x -> x IN ({_STOP_FR}))) AS DOUBLE)",
+}
+_NTOK_NORM = f"CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE)"
+_STOP_RATIO = f"({_HITS['en']} / greatest({_NTOK_NORM}, 1.0))"
+_PUNCT = (
+    "(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    " / greatest(CAST(length(text) AS DOUBLE), 1.0))"
+)
+_QUALITY = (
+    f"round((least(CAST({_TOKC} AS DOUBLE) / 20.0, 1.0)"
+    f" + (1.0 - least({_PUNCT} * 4.0, 1.0))"
+    f" + least({_STOP_RATIO} * 5.0, 1.0)) / 3.0, 6)"
+)
+
+_NGRAM_GRAMS = f"""
+  WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+  grams AS (
+    SELECT doc_id, g FROM (
+      SELECT doc_id,
+             unnest(list_distinct([md5(array_to_string(t[i:i+2], ' '))
+                                   for i in range(1, greatest(len(t)-2, 1)+1)])) AS g
+      FROM toks)),
+  sizes AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+  ok AS (SELECT g FROM sizes WHERE cnt > 1 AND cnt <= 200),
+  okgrams AS (SELECT doc_id, g FROM grams JOIN ok USING (g))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "gate_events_dynamic": """
+          SELECT event_id,
+                 (json_extract(props, '$.k') IS NOT NULL
+                  AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 10 AND 90) AS isvalid
+          FROM events
+        """,
+        "gate_part_typed": """
+          SELECT p_partkey,
+                 CASE
+                   WHEN p_partkey IS NULL OR p_name IS NULL OR p_type IS NULL OR p_size IS NULL THEN 'required'
+                   WHEN p_name IS NOT NULL AND length(p_name) < 5 THEN 'minLength'
+                   WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, '^[a-z ]+$') THEN 'pattern'
+                   WHEN p_retailprice IS NOT NULL AND p_retailprice > 990 THEN 'maximum'
+                   WHEN p_size IS NOT NULL AND p_size > 45 THEN 'maximum'
+                   WHEN p_size IS NOT NULL AND p_size < 5 THEN 'minimum'
+                   WHEN p_type IS NOT NULL AND p_type NOT IN ('ECONOMY','STANDARD','PROMO','MEDIUM') THEN 'enum'
+                   ELSE NULL
+                 END AS reason,
+                 (CASE
+                   WHEN p_partkey IS NULL OR p_name IS NULL OR p_type IS NULL OR p_size IS NULL THEN 'required'
+                   WHEN p_name IS NOT NULL AND length(p_name) < 5 THEN 'minLength'
+                   WHEN p_name IS NOT NULL AND NOT regexp_matches(p_name, '^[a-z ]+$') THEN 'pattern'
+                   WHEN p_retailprice IS NOT NULL AND p_retailprice > 990 THEN 'maximum'
+                   WHEN p_size IS NOT NULL AND p_size > 45 THEN 'maximum'
+                   WHEN p_size IS NOT NULL AND p_size < 5 THEN 'minimum'
+                   WHEN p_type IS NOT NULL AND p_type NOT IN ('ECONOMY','STANDARD','PROMO','MEDIUM') THEN 'enum'
+                   ELSE NULL
+                 END) IS NULL AS isvalid
+          FROM part
+        """,
+        "gate_docs_typed": """
+          SELECT doc_id,
+                 CASE
+                   WHEN doc_id IS NULL OR text IS NULL THEN 'required'
+                   WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh') THEN 'enum'
+                   WHEN n_chars IS NOT NULL AND n_chars > 520 THEN 'maximum'
+                   WHEN n_chars IS NOT NULL AND n_chars < 50 THEN 'minimum'
+                   WHEN text IS NOT NULL AND length(text) > 400 THEN 'maxLength'
+                   WHEN text IS NOT NULL AND length(text) < 60 THEN 'minLength'
+                   ELSE NULL
+                 END AS reason,
+                 (CASE
+                   WHEN doc_id IS NULL OR text IS NULL THEN 'x'
+                   WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh') THEN 'x'
+                   WHEN n_chars IS NOT NULL AND (n_chars > 520 OR n_chars < 50) THEN 'x'
+                   WHEN text IS NOT NULL AND (length(text) > 400 OR length(text) < 60) THEN 'x'
+                   ELSE NULL
+                 END) IS NULL AS isvalid
+          FROM documents
+        """,
+        "gate_events_oneof": """
+          SELECT event_id,
+                 ((value <= 100) != (value >= 50)) AS isvalid
+          FROM events
+        """,
+        "gate_events_conditional": """
+          SELECT event_id,
+                 CASE WHEN event_type = 'error' THEN value <= 250 ELSE value <= 450 END AS isvalid
+          FROM events
+        """,
+        "doc_exact_dedup": f"""
+          SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
+          FROM documents GROUP BY 1
+        """,
+        "doc_token_count": f"SELECT doc_id, {_TOKC} AS n_tokens FROM documents",
+        "doc_text_features": f"""
+          SELECT doc_id, {_TOKC} AS n_tokens,
+                 round({_STOP_RATIO}, 6) AS stop_ratio,
+                 {_QUALITY} AS quality
+          FROM documents
+        """,
+        "doc_lang_id": f"""
+          SELECT doc_id, lang,
+                 CASE
+                   WHEN greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}) = 0 THEN 'unknown'
+                   WHEN {_HITS['en']} = greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']})
+                        AND {_HITS['de']} < {_HITS['en']} AND {_HITS['fr']} < {_HITS['en']} THEN 'en'
+                   WHEN {_HITS['de']} = greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']})
+                        AND {_HITS['en']} < {_HITS['de']} AND {_HITS['fr']} < {_HITS['de']} THEN 'de'
+                   WHEN {_HITS['fr']} = greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']})
+                        AND {_HITS['en']} < {_HITS['fr']} AND {_HITS['de']} < {_HITS['fr']} THEN 'fr'
+                   ELSE 'unknown'
+                 END AS lang_pred
+          FROM documents
+        """,
+        "doc_fingerprint": f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+        "doc_simhash": f"""
+          WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS t FROM documents),
+          th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+          bits AS (SELECT doc_id, b,
+                          CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                               THEN (1::BIGINT << b) ELSE 0 END AS bit
+                   FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b)
+          SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id
+        """,
+        "doc_shingle_count": f"""
+          WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+          SELECT doc_id,
+                 CASE WHEN length(t) <= 5 THEN 1
+                      ELSE len(list_distinct([substr(t, i, 5) for i in range(1, length(t)-3)]))
+                 END::BIGINT AS n_shingles
+          FROM n
+        """,
+        "doc_ngram_pairs": f"""
+          {_NGRAM_GRAMS}
+          SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared_ngrams
+          FROM okgrams a JOIN okgrams b USING (g)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        """,
+        "doc_hamming_pairs": """
+          WITH h AS (SELECT doc_id, lang, n_chars // 50 AS lb,
+                            ('0x' || substr(md5(text), 1, 15))::BIGINT AS ph
+                     FROM documents)
+          SELECT a.doc_id AS src, b.doc_id AS dst,
+                 bit_count(xor(a.ph, b.ph)) AS hamming
+          FROM h a JOIN h b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.ph, b.ph)) <= 28
+        """,
+        "doc_components": f"""
+          {_NGRAM_GRAMS.replace("WITH toks", "WITH RECURSIVE toks", 1)},
+          pairs AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM okgrams a JOIN okgrams b USING (g)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3),
+          sym AS (SELECT src AS u, dst AS v FROM pairs UNION SELECT dst, src FROM pairs),
+          reach AS (
+            SELECT u, v FROM sym
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u WHERE e.v != r.u
+          )
+          SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
+          FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+          GROUP BY d.doc_id
+        """,
+        "emb_cosine_topk": """
+          WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          idx AS (SELECT unnest(range(64)) AS i),
+          dots AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   sum(CAST(q.embedding[i.i + 1] AS DOUBLE) * CAST(c.embedding[i.i + 1] AS DOUBLE)) AS dot,
+                   sqrt(sum(CAST(q.embedding[i.i + 1] AS DOUBLE) * CAST(q.embedding[i.i + 1] AS DOUBLE))) AS qn,
+                   sqrt(sum(CAST(c.embedding[i.i + 1] AS DOUBLE) * CAST(c.embedding[i.i + 1] AS DOUBLE))) AS cn
+            FROM e q, e c, idx i
+            WHERE q.vec_id < 50 AND q.vec_id != c.vec_id
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT query_id, neighbor_id, round(dot / (qn * cn), 6) AS cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY round(dot / (qn * cn), 6) DESC, neighbor_id) AS rank
+            FROM dots)
+          SELECT query_id, neighbor_id, rank, cos FROM scored WHERE rank <= 3
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from jsonschema_jl_spark.session import get_spark
+
+    spark = get_spark(cores=8, extra_conf={"spark.driver.memory": "8g"})
+    df = entry(spark)
+    df.show(20, truncate=False)
+    print("rows:", df.count())
+    spark.stop()
