@@ -1,0 +1,137 @@
+"""Benchmark: north-rule pipeline throughput + scaling evidence.
+
+Headline: images/sec of the full validation-gated dedup pipeline
+(gate -> shingle/MinHash -> LSH -> Jaccard verify -> phash Hamming ->
+containment -> connected components) over a deterministic synthetic images
+table sized by $SPARK_GRAFT_SF_DIR (1M rows/sf-unit: sf0.1 -> 100k rows).
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "scaling": {"t8": ..., "t32": ..., "efficiency": ...}}
+
+Scaling evidence (BASELINE.md): no real cluster in the sandbox, so the same
+job runs at local[8] and local[32] on the same cached input; efficiency =
+(thr_32 / thr_8) / 4.  Disable with SPARK_GRAFT_BENCH_SCALING=0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jsonschema_jl_spark.config import DedupConfig
+from jsonschema_jl_spark.session import get_spark, stop_spark
+from jsonschema_jl_spark.datagen import generate_images
+from jsonschema_jl_spark.gate.gate import gate_filter
+from jsonschema_jl_spark.operators.pipeline import IMAGES_GATE_SCHEMA, dedup_pipeline
+from jsonschema_jl_spark.operators.minhash import with_signatures
+
+CFG = DedupConfig()
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+DATAGEN_V = 2  # bump to invalidate cached input
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def input_path(spark, n_rows: int) -> str:
+    path = os.path.join(CACHE, f"images_n{n_rows}_v{DATAGEN_V}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        df = generate_images(spark, n_rows, CFG, with_bytes=True)
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_pipeline(spark, path: str) -> tuple[dict, int]:
+    """Returns per-stage seconds + labeled row count."""
+    timings: dict[str, float] = {}
+    images = spark.read.parquet(path)
+
+    t0 = time.time()
+    n_valid = gate_filter(images, IMAGES_GATE_SCHEMA).count()
+    timings["gate"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    slim = gate_filter(images, IMAGES_GATE_SCHEMA).select("image_id", "caption", "phash")
+    sigs = with_signatures(slim, cfg=CFG)
+    sigs.write.mode("overwrite").format("noop").save()
+    timings["signatures"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    res = dedup_pipeline(images, CFG)
+    n_labeled = res.labels.count()
+    timings["pipeline_full"] = round(time.time() - t0, 2)
+    res.cleanup()
+    return timings, n_labeled, n_valid
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    sf = sf_from_dir(sf_dir)
+    n_rows = max(int(1_000_000 * sf), 1000)
+
+    # materialize input once (not timed)
+    spark = get_spark("bench_datagen", cores=cpus)
+    path = input_path(spark, n_rows)
+    total_rows = spark.read.parquet(path).count()
+    stop_spark(spark)
+
+    results: dict = {}
+    spark = get_spark("bench_main", cores=cpus, shuffle_partitions=cpus * 2)
+    timings, n_labeled, n_valid = run_pipeline(spark, path)
+    stop_spark(spark)
+    wall = timings["pipeline_full"]
+    thr_main = total_rows / wall
+
+    scaling = None
+    if do_scaling:
+        thr = {}
+        for cores in (8, 32):
+            s = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=cores * 2)
+            t0 = time.time()
+            res = dedup_pipeline(s.read.parquet(path), CFG)
+            res.labels.count()
+            dt = time.time() - t0
+            res.cleanup()
+            stop_spark(s)
+            thr[cores] = total_rows / dt
+        scaling = {
+            "thr_local8": round(thr[8], 1),
+            "thr_local32": round(thr[32], 1),
+            "efficiency": round((thr[32] / thr[8]) / 4.0, 3),
+        }
+
+    out = {
+        "metric": "images_per_sec",
+        "value": round(thr_main, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": total_rows,
+        "valid_rows": n_valid,
+        "labeled_rows": n_labeled,
+        "cpus": cpus,
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

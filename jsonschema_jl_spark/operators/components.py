@@ -1,23 +1,25 @@
 """Iterative connected components — hash-partitioned min-label propagation
 (P11) with per-iteration lineage truncation.
 
-Algorithm: every vertex starts labeled with its own id; each round, labels
-flow across edges (symmetrized) and each vertex keeps the min label seen.
-Converges in O(component diameter) rounds — dup clusters are shallow (near-
-clique candidate graphs), so 3-5 rounds dominate in practice; cfg.cc_max_iters
-bounds pathological chains.
+Algorithm: every edge-touched vertex starts labeled with its own id; each
+round, labels flow across edges (symmetrized) and each vertex keeps the min
+label seen.  Converges in O(component diameter) rounds — dup clusters are
+shallow (near-clique candidate graphs), so 3-5 rounds dominate in practice;
+`max_iters` bounds pathological chains.
 
-Scale notes:
-  * every round is one shuffle join (edges ⋈ labels on src) + one shuffle
-    min-agg, both on the vertex id — the same key every round, so Spark
-    reuses the exchange partitioning;
-  * lineage is truncated each round (localCheckpoint, or a reliable
-    checkpoint/Iceberg write via the `checkpoint_fn` hook at cluster scale)
-    — without this the plan tree doubles per iteration;
-  * convergence is detected with a cheap count on a changed-labels join;
-  * min-label over a giant component funnels through its min vertex only in
-    the agg's reduce side, which map-side partial aggregation (partial_min)
-    flattens — no single hot reducer.
+Scale design:
+  * **only edge-touched vertices iterate** — at web scale the overwhelming
+    majority of rows are singletons; they join the labeling once at the end
+    with their own id, never entering the loop;
+  * every round is one shuffle join (edges ⋈ labels on the vertex id) + one
+    shuffle min-agg on the same key — Spark reuses the exchange partitioning;
+  * the convergence signal rides INSIDE the same aggregation (old label is
+    folded in as a tagged message), so each round costs exactly one
+    materializing action plus a counted filter over the cached result;
+  * lineage is truncated each round (localCheckpoint; swap in a reliable
+    checkpoint/Iceberg write via `checkpoint_fn` on a real cluster);
+  * min-label agg does map-side partial aggregation, so a giant component's
+    min vertex is no hot reducer.
 """
 
 from __future__ import annotations
@@ -34,38 +36,47 @@ def connected_components(
     checkpoint_fn: Callable[[DataFrame, int], DataFrame] | None = None,
 ) -> DataFrame:
     """edges: (src, dst).  Returns (id, component) — component is the min
-    vertex id reachable; singleton vertices (if `vertices` given) keep their
-    own id."""
+    vertex id reachable; singleton vertices (when `vertices` is given) keep
+    their own id."""
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     ).distinct()
-    if vertices is not None:
-        verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
-    else:
-        verts = sym.select(F.col("u").alias("id")).distinct()
-    labels = verts.select("id", F.col("id").alias("component"))
+    # sym is re-joined EVERY iteration — materialize it once, or each round
+    # re-runs the entire upstream candidate/verify cascade (at cluster scale
+    # this is the P10 Iceberg edge-table write)
+    sym = sym.persist()
+
     if checkpoint_fn is None:
         checkpoint_fn = lambda df, i: df.localCheckpoint(eager=True)  # noqa: E731
 
-    labels = checkpoint_fn(labels, 0)
+    labels = checkpoint_fn(
+        sym.select(F.col("u").alias("id")).distinct().select("id", F.col("id").alias("component")),
+        0,
+    )
     for it in range(1, max_iters + 1):
         prop = (
             sym.join(labels, sym.u == labels.id)
-            .select(F.col("v").alias("id"), F.col("component"))
+            .select(F.col("v").alias("id"), F.col("component"), F.lit(False).alias("is_old"))
         )
-        new_labels = (
-            prop.unionByName(labels)
+        agg = (
+            prop.unionByName(labels.withColumn("is_old", F.lit(True)))
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_old"), F.col("component"))).alias("old_component"),
+            )
         )
-        new_labels = checkpoint_fn(new_labels, it)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        agg = checkpoint_fn(agg, it)
+        changed = agg.filter(F.col("component") != F.col("old_component")).count()
+        labels = agg.select("id", "component")
         if changed == 0:
             break
-    return labels
+    sym.unpersist()
+
+    if vertices is None:
+        return labels
+    verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    singletons = verts.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return labels.unionByName(singletons)

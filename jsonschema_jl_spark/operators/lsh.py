@@ -59,8 +59,10 @@ def candidate_pairs(
     one extra action over the small bucket-size aggregate only)."""
     sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap)).drop("n")
-    # inner join back: partitioning on (band,bucket) is reused from the agg
-    member = buckets.join(ok, ["band", "bucket"])
+    # inner join back; the filtered membership is consumed twice by the
+    # self-join, so materialize it once (it is already pair-pruned: only
+    # buckets with 2..cap members survive)
+    member = buckets.join(ok, ["band", "bucket"]).persist()
     a = member.alias("a")
     b = member.alias("b")
     pairs = (

@@ -105,9 +105,16 @@ _SIG_SCHEMA = T.StructType(
 
 
 def with_signatures(
-    df: DataFrame, text_col: str = "caption", cfg: DedupConfig = DEFAULT_CONFIG
+    df: DataFrame, text_col: str = "caption", cfg: DedupConfig = DEFAULT_CONFIG,
+    repartition: bool = True,
 ) -> DataFrame:
-    """Add `shingles: array<long>` and `minhash: array<long>` columns."""
+    """Add `shingles: array<long>` and `minhash: array<long>` columns.
+
+    The Arrow kernel's parallelism equals the input partition count; a
+    column-pruned scan of a few large files yields too few partitions to
+    keep every core busy, so by default the (narrow) input is rebalanced to
+    the cluster's parallelism first — a cheap shuffle of (id, text, phash)
+    that the banding shuffle downstream would pay anyway."""
 
     @F.pandas_udf(_SIG_SCHEMA)
     def sig_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -115,6 +122,8 @@ def with_signatures(
             sets, sigs = minhash_batch(texts, cfg)
             yield pd.DataFrame({"shingles": sets, "minhash": sigs})
 
+    if repartition:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     out = df.withColumn("__sig", sig_udf(F.col(text_col)))
     return out.withColumn("shingles", F.col("__sig.shingles")).withColumn(
         "minhash", F.col("__sig.minhash")

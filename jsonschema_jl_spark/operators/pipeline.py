@@ -43,6 +43,11 @@ class PipelineResult:
     edges: DataFrame           # (src, dst, kind)
     signatures: DataFrame      # (image_id, caption, phash, shingles, minhash)
     metrics: dict = field(default_factory=dict)
+    _cached: tuple = ()
+
+    def cleanup(self) -> None:
+        for df in self._cached:
+            df.unpersist()
 
 
 def dedup_pipeline(
@@ -58,12 +63,26 @@ def dedup_pipeline(
     valid = gate_filter(images, gate_schema)
     # column pruning: only what dedup needs flows past the gate
     slim = valid.select("image_id", "caption", "phash")
+    # rebalance: the pruned projection of a wide table collapses to few scan
+    # partitions; every downstream kernel (minhash UDF, phash explode,
+    # containment grams) inherits that, so rebalance once to full parallelism
+    par = images.sparkSession.sparkContext.defaultParallelism
+    slim = slim.repartition(par)
+    if persist:
+        # slim feeds three detectors (minhash, phash, containment) — persist
+        # so the scan+gate run once.  At cluster scale this is the Iceberg
+        # signature-checkpoint write (P13) instead of executor memory.
+        slim = slim.persist()
 
     sigs = with_signatures(slim, text_col="caption", cfg=cfg)
     if persist:
         # reused by banding AND jaccard verification — compute the Python
-        # kernel once
+        # kernel once, and materialize EAGERLY: the three detector branches
+        # fan out from these frames inside one job, and a lazily-persisted
+        # subtree would be recomputed concurrently by each branch before the
+        # cache populates (at cluster scale: the P13 signature-table write)
         sigs = sigs.persist()
+        sigs.count()
 
     buckets = band_buckets(sigs, id_col="image_id", sig_col="minhash", cfg=cfg)
     cands, skew = candidate_pairs(buckets, cfg, with_metrics=True)
@@ -106,4 +125,5 @@ def dedup_pipeline(
         edges=edges,
         signatures=sigs,
         metrics={"skew": skew.as_dict(), "config_hash": cfg.config_hash()},
+        _cached=(slim, sigs) if persist else (),
     )

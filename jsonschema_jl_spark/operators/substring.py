@@ -66,11 +66,16 @@ def containment_pairs(
     ).filter(F.length("txt") >= cfg.min_contained_len)
 
     # contained side: hash of the first g chars (one row per doc)
-    probe = base.withColumn("key", F.xxhash64(F.substring("txt", 1, g)))
-    # container side: every distinct g-gram position hash (O(len) rows per doc)
+    probe = base.select(
+        "id", F.length("txt").alias("len"), F.xxhash64(F.substring("txt", 1, g)).alias("key")
+    )
+    # container side: every distinct g-gram position hash.  Only (id, len,
+    # key) flows through the O(total_chars) explode — carrying the text here
+    # would shuffle O(len^2) bytes per doc; candidates re-fetch texts via a
+    # narrow join instead.
     grams = base.select(
         F.col("id").alias("id_b"),
-        F.col("txt").alias("txt_b"),
+        F.length("txt").alias("len_b"),
         F.explode(
             F.array_distinct(
                 F.expr(
@@ -84,13 +89,19 @@ def containment_pairs(
     sizes = grams.groupBy("key").agg(F.count("*").alias("n"))
     ok = sizes.filter(F.col("n") <= anchor_cap).drop("n")
     grams = grams.join(ok, "key")
-    return (
+    cand = (
         probe.join(grams, "key")
-        .filter(F.col("id") != F.col("id_b"))
-        .filter(F.length("txt") < F.length("txt_b"))
+        .filter((F.col("id") != F.col("id_b")) & (F.col("len") < F.col("len_b")))
+        .select("id", "id_b")
+        .dropDuplicates(["id", "id_b"])
+    )
+    a = base.select(F.col("id"), F.col("txt"))
+    b = base.select(F.col("id").alias("id_b2"), F.col("txt").alias("txt_b"))
+    return (
+        cand.join(a, "id")
+        .join(b, cand.id_b == b.id_b2)
         .filter(F.instr(F.col("txt_b"), F.col("txt")) > 0)
         .select(F.col("id").alias("src"), F.col("id_b").alias("dst"))
-        .dropDuplicates(["src", "dst"])
     )
 
 
