@@ -58,7 +58,9 @@ _MAL_KINDS = ["required", "enum", "minimum", "minLength", "pattern", "maximum"]
 
 def _h64(x: np.ndarray, salt: int) -> np.ndarray:
     """splitmix64 over uint64 ids — vectorized, partition-independent."""
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15) * np.uint64(salt + 1)
+    # salt folded in with explicit mod-2^64 arithmetic (same value as uint64
+    # wraparound, without numpy's scalar-overflow warning)
+    z = x.astype(np.uint64) + np.uint64((0x9E3779B97F4A7C15 * (salt + 1)) & 0xFFFFFFFFFFFFFFFF)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))

@@ -1,0 +1,151 @@
+"""Checkpoint / resume / lineage / metrics (P13).
+
+The north rule requires signatures and component labels checkpointed per
+partition with lineage and per-partition metrics for resumable runs
+(BASELINE.json:14).  In the sandbox the sink is partitioned parquet (the
+Iceberg jars are not in the image — the same layout maps 1:1 onto an Iceberg
+table partitioned by `part_bucket`, with the manifest's role played by
+Iceberg snapshot metadata).
+
+Layout:
+    <root>/<config_hash>/<stage>/part_bucket=N/*.parquet
+    <root>/<config_hash>/<stage>/_manifest.json
+
+Manifest records lineage (input descriptor, config hash, engine version),
+per-bucket row counts, and completion flags.  Resume = recompute only the
+buckets missing from the manifest; a config change hashes to a different
+directory, so stale state can never be mixed in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from jsonschema_jl_spark import __version__
+from jsonschema_jl_spark.config import DedupConfig
+
+
+def bucket_col(id_col: str, n_buckets: int):
+    """Deterministic partition bucket (maps to Iceberg `bucket(N, id)`)."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
+class CheckpointManager:
+    def __init__(self, root: str, cfg: DedupConfig, input_desc: str = "") -> None:
+        self.root = root
+        self.cfg = cfg
+        self.input_desc = input_desc
+        self.base = os.path.join(root, cfg.config_hash())
+        os.makedirs(self.base, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.base, stage, "_manifest.json")
+
+    def read_manifest(self, stage: str) -> dict:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return {"stage": stage, "buckets": {}, "config_hash": self.cfg.config_hash()}
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, stage: str, manifest: dict) -> None:
+        p = self._manifest_path(stage)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, p)
+
+    # -- stage write / resume ----------------------------------------------
+
+    def completed_buckets(self, stage: str) -> set[int]:
+        return {int(b) for b, m in self.read_manifest(stage).get("buckets", {}).items() if m.get("done")}
+
+    def write_stage(
+        self,
+        df: DataFrame,
+        stage: str,
+        id_col: str,
+        n_buckets: int = 8,
+        resume: bool = True,
+    ) -> str:
+        """Write `df` bucketed by hash(id) under the stage dir, skipping
+        buckets already recorded as done.  One Spark job per missing bucket
+        (the resumability unit); each job's filter on the bucket expression
+        prunes at the source when the upstream is itself bucket-partitioned."""
+        path = os.path.join(self.base, stage)
+        manifest = self.read_manifest(stage) if resume else {"stage": stage, "buckets": {}}
+        manifest.setdefault("buckets", {})
+        manifest["config_hash"] = self.cfg.config_hash()
+        manifest["engine_version"] = __version__
+        manifest["lineage"] = {
+            "input": self.input_desc,
+            "n_buckets": n_buckets,
+            "id_col": id_col,
+        }
+        done = {int(b) for b, m in manifest["buckets"].items() if m.get("done")}
+        tagged = df.withColumn("part_bucket", bucket_col(id_col, n_buckets))
+        for b in range(n_buckets):
+            if b in done:
+                continue
+            t0 = time.time()
+            part = tagged.filter(F.col("part_bucket") == b).drop("part_bucket")
+            out = os.path.join(path, f"part_bucket={b}")
+            part.write.mode("overwrite").parquet(out)
+            n = part.sparkSession.read.parquet(out).count()
+            manifest["buckets"][str(b)] = {
+                "done": True,
+                "rows": n,
+                "seconds": round(time.time() - t0, 2),
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self._write_manifest(stage, manifest)
+        return path
+
+    def read_stage(self, spark: SparkSession, stage: str) -> DataFrame:
+        path = os.path.join(self.base, stage)
+        return spark.read.option("basePath", path).parquet(os.path.join(path, "part_bucket=*"))
+
+    def stage_complete(self, stage: str, n_buckets: int) -> bool:
+        return len(self.completed_buckets(stage)) >= n_buckets
+
+    def metrics(self) -> dict:
+        out = {}
+        if not os.path.isdir(self.base):
+            return out
+        for stage in sorted(os.listdir(self.base)):
+            m = self.read_manifest(stage)
+            if m.get("buckets"):
+                out[stage] = {
+                    "rows": sum(v.get("rows", 0) for v in m["buckets"].values()),
+                    "buckets_done": len([v for v in m["buckets"].values() if v.get("done")]),
+                    "per_bucket": m["buckets"],
+                }
+        return out
+
+
+def resumable_signatures(
+    spark: SparkSession,
+    images: DataFrame,
+    ckpt: CheckpointManager,
+    cfg: DedupConfig,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Gate + signature stage with per-bucket checkpoint/resume: the pandas
+    MinHash kernel never re-runs for completed buckets."""
+    from jsonschema_jl_spark.gate.gate import gate_filter
+    from jsonschema_jl_spark.operators.minhash import with_signatures
+    from jsonschema_jl_spark.operators.pipeline import IMAGES_GATE_SCHEMA
+
+    stage = "signatures"
+    if not ckpt.stage_complete(stage, n_buckets):
+        slim = gate_filter(images, IMAGES_GATE_SCHEMA).select("image_id", "caption", "phash")
+        sigs = with_signatures(slim, cfg=cfg)
+        ckpt.write_stage(sigs, stage, id_col="image_id", n_buckets=n_buckets)
+    return ckpt.read_stage(spark, stage)

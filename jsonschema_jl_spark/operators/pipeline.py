@@ -57,6 +57,7 @@ def dedup_pipeline(
     use_phash: bool = True,
     use_containment: bool = True,
     persist: bool = True,
+    collect_metrics: bool = True,
 ) -> PipelineResult:
     gate_schema = IMAGES_GATE_SCHEMA if gate_schema is None else gate_schema
 
@@ -85,7 +86,12 @@ def dedup_pipeline(
         sigs.count()
 
     buckets = band_buckets(sigs, id_col="image_id", sig_col="minhash", cfg=cfg)
-    cands, skew = candidate_pairs(buckets, cfg, with_metrics=True)
+    if collect_metrics:
+        cands, skew = candidate_pairs(buckets, cfg, with_metrics=True)
+        skew_metrics = skew.as_dict()
+    else:
+        cands = candidate_pairs(buckets, cfg)
+        skew_metrics = {}
     caption_edges = verify_jaccard(cands, sigs, cfg=cfg).select(
         "src", "dst", F.lit("caption").alias("kind")
     )
@@ -124,6 +130,6 @@ def dedup_pipeline(
         labels=labels,
         edges=edges,
         signatures=sigs,
-        metrics={"skew": skew.as_dict(), "config_hash": cfg.config_hash()},
+        metrics={"skew": skew_metrics, "config_hash": cfg.config_hash()},
         _cached=(slim, sigs) if persist else (),
     )

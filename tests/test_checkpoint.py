@@ -1,0 +1,74 @@
+"""Checkpoint/resume (P13): per-bucket manifests, lineage, metrics, and
+config-hash isolation."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_jl_spark.config import DedupConfig
+from jsonschema_jl_spark.datagen import generate_images
+from jsonschema_jl_spark.io.checkpoint import CheckpointManager, resumable_signatures
+
+CFG = DedupConfig()
+N = 500
+NB = 4
+
+
+@pytest.fixture()
+def images(spark):
+    return generate_images(spark, N, CFG, with_bytes=False, with_malformed=False)
+
+
+def test_write_resume_and_metrics(spark, images, tmp_path):
+    root = str(tmp_path / "ckpt")
+    ckpt = CheckpointManager(root, CFG, input_desc="test-images")
+    sigs = resumable_signatures(spark, images, ckpt, CFG, n_buckets=NB)
+    assert sigs.count() == N
+    m = ckpt.metrics()["signatures"]
+    assert m["buckets_done"] == NB
+    assert m["rows"] == N
+    # lineage recorded
+    manifest = ckpt.read_manifest("signatures")
+    assert manifest["lineage"]["input"] == "test-images"
+    assert manifest["config_hash"] == CFG.config_hash()
+
+    # simulate a partial failure: delete one bucket + its manifest entry
+    bdir = os.path.join(ckpt.base, "signatures", "part_bucket=2")
+    shutil.rmtree(bdir)
+    mp = os.path.join(ckpt.base, "signatures", "_manifest.json")
+    man = json.load(open(mp))
+    del man["buckets"]["2"]
+    json.dump(man, open(mp, "w"))
+
+    # resume: only the missing bucket is recomputed (others keep timestamps)
+    before = {b: v["ts"] for b, v in man["buckets"].items()}
+    sigs2 = resumable_signatures(spark, images, ckpt, CFG, n_buckets=NB)
+    assert sigs2.count() == N
+    man2 = json.load(open(mp))
+    for b, ts in before.items():
+        assert man2["buckets"][b]["ts"] == ts
+    assert man2["buckets"]["2"]["done"]
+
+
+def test_config_hash_isolation(spark, images, tmp_path):
+    root = str(tmp_path / "ckpt")
+    c1 = CheckpointManager(root, CFG)
+    c2 = CheckpointManager(root, DedupConfig(jaccard_tau=0.8))
+    assert c1.base != c2.base
+    resumable_signatures(spark, images, c1, CFG, n_buckets=2)
+    assert c1.stage_complete("signatures", 2)
+    assert not c2.stage_complete("signatures", 2)
+
+
+def test_bucketing_is_deterministic(spark, images, tmp_path):
+    ckpt = CheckpointManager(str(tmp_path / "c"), CFG)
+    ckpt.write_stage(images.select("image_id", "caption"), "s", "image_id", n_buckets=NB)
+    df = ckpt.read_stage(spark, "s")
+    # no dup/dropped rows across buckets
+    assert df.count() == N
+    assert df.select("image_id").distinct().count() == N

@@ -1,0 +1,129 @@
+"""Unit tests: PNG codec + PSNR invariant (P14), image features, textops,
+similarity search, LSH salting path, suffix-array cross-check."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_jl_spark.config import DedupConfig
+from jsonschema_jl_spark.datagen import generate_images
+from jsonschema_jl_spark.operators.multimodal import (
+    decode_image,
+    png_decode,
+    png_encode,
+    psnr,
+    with_image_features,
+)
+from jsonschema_jl_spark.operators.similarity import cosine_topk, lsh_ann_pairs
+from jsonschema_jl_spark.operators.lsh import band_buckets, candidate_pairs, salted_candidate_pairs
+from jsonschema_jl_spark.operators.minhash import with_signatures
+from jsonschema_jl_spark.operators.substring import containment_pairs, suffix_array_containment
+
+CFG = DedupConfig()
+
+
+# ---------------------------------------------------------------------------
+# PNG codec + per-row invariant (P14, BASELINE.json:15)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(40, 57, 3), dtype=np.uint8)
+    data = png_encode(px)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = png_decode(data)
+    assert np.array_equal(px, back)
+    assert psnr(px, back) == float("inf")
+
+
+def test_lossy_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg", "jpeg")
+
+
+def test_dup_rows_satisfy_pixel_invariant(spark):
+    """Planted exact-dup rows: decoded pixels PSNR >= 40 dB (exact here,
+    PNG is lossless) and caption equality vs the base row."""
+    images = generate_images(spark, 100, CFG, with_malformed=False).toPandas()
+    images = images.set_index("image_id")
+    for i in range(100):
+        if i % 20 == 15:
+            a = images.loc[f"img{i - 1:012d}"]
+            b = images.loc[f"img{i:012d}"]
+            assert a["caption"] == b["caption"]
+            pa = decode_image(bytes(a["bytes"]), a["fmt"])
+            pb = decode_image(bytes(b["bytes"]), b["fmt"])
+            assert psnr(pa, pb) >= 40.0
+
+
+def test_with_image_features(spark):
+    df = generate_images(spark, 40, CFG, with_malformed=False)
+    out = with_image_features(df).select("image_id", "w", "h", "img_features.*").collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.decode_ok
+        assert r.decoded_w == r.w and r.decoded_h == r.h
+        assert 0 <= r.mean_r <= 255
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    got = cosine_topk(df, k=2).orderBy("query_id", "rank").collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(30):
+        expect = np.argsort(-np.round(sims[q], 6), kind="stable")[:2]
+        rows = [r for r in got if r.query_id == q]
+        assert [r.neighbor_id for r in rows] == list(expect)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 16))
+    # plant 10 near-dup pairs (tiny perturbations)
+    rows = []
+    for i in range(50):
+        rows.append((i, [float(x) for x in base[i]]))
+    for j in range(10):
+        v = base[j] + rng.standard_normal(16) * 0.01
+        rows.append((100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = lsh_ann_pairs(df, dim=16, n_planes=8, n_tables=6, min_cos=0.99)
+    got = {(r.src, r.dst) for r in pairs.collect()}
+    planted = {(j, 100 + j) for j in range(10)}
+    assert len(planted & got) >= 9  # >= 90% recall on planted near-dups
+
+
+# ---------------------------------------------------------------------------
+# LSH salting path + suffix-array cross-check
+# ---------------------------------------------------------------------------
+
+def test_salted_pairs_equal_capped_union(spark):
+    images = generate_images(spark, 400, CFG, with_bytes=False, with_malformed=False)
+    sigs = with_signatures(images.select("image_id", "caption", "phash"), cfg=CFG)
+    buckets = band_buckets(sigs, cfg=CFG).persist()
+    plain = {(r.src, r.dst) for r in candidate_pairs(buckets, CFG).collect()}
+    salted = {(r.src, r.dst) for r in salted_candidate_pairs(buckets, CFG, num_salts=4).collect()}
+    # salting must find at least everything capping finds (it drops nothing)
+    assert plain <= salted
+    buckets.unpersist()
+
+
+def test_suffix_array_matches_anchor_join(spark):
+    images = generate_images(spark, 300, CFG, with_bytes=False, with_malformed=False)
+    slim = images.select("image_id", "caption", "phash")
+    a = {(r.src, r.dst) for r in containment_pairs(slim, cfg=CFG).collect()}
+    b = {(r.src, r.dst) for r in suffix_array_containment(slim, cfg=CFG).collect()}
+    assert a == b
+    assert len(a) > 0  # planted containment pairs exist
