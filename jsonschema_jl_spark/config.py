@@ -17,9 +17,13 @@ class DedupConfig:
     # --- caption shingling (P2) ---
     shingle_k: int = 5            # char-level k-gram width (bytes of NFC text)
     # --- MinHash (P3) ---
-    num_perm: int = 128           # permutations n
+    num_perm: int = 128           # signature length (bins for OPH)
     minhash_seed: int = 4242
     mersenne_prime: int = (1 << 61) - 1
+    # "oph": one-permutation hashing with rotation densification (Li/
+    # Shrivastava) — O(|shingles|) per row, the production-scale scheme.
+    # "kperm": classic k independent multiply-add permutations — O(k*|S|).
+    minhash_scheme: str = "oph"
     # --- LSH banding (P4) ---
     num_bands: int = 32           # b bands
     rows_per_band: int = 4        # r rows;  b*r == num_perm
@@ -32,7 +36,11 @@ class DedupConfig:
     phash_bits: int = 64
     # --- substring containment (P9) ---
     anchor_gram: int = 12         # anchor g-gram width for containment join
-    min_contained_len: int = 16   # ignore captions shorter than this as "contained"
+    anchor_stride: int = 5        # container emits grams at positions 1+k*s;
+                                  # probe emits its first s grams (exact:
+                                  # any occurrence aligns one probe gram with
+                                  # a strided container gram)
+    min_contained_len: int = 16   # >= anchor_gram + anchor_stride - 1
     # --- connected components (P11) ---
     cc_max_iters: int = 25
     # --- misc ---

@@ -80,3 +80,81 @@ def connected_components(
         "id", F.col("id").alias("component")
     )
     return labels.unionByName(singletons)
+
+
+def connected_components_twophase(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iters: int = 50,
+    checkpoint_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components.
+
+    The two-round primitive from "Connected Components in MapReduce and
+    Beyond" (Kiveris et al., SoCC'14): converges in O(log n) rounds even on
+    high-diameter graphs (paths, meshes), where plain min-label propagation
+    needs O(diameter) rounds.  Each round is a groupBy-min + join on the
+    node id — the same shuffle key throughout.
+
+      large-star: every neighbor v > u links to min(N(u) ∪ {u})
+      small-star: every neighbor v <= u (and u) links to min(N<=(u) ∪ {u})
+
+    Kept alongside `connected_components` as the scale path for adversarial
+    graph shapes; dup-cluster graphs are shallow so both perform similarly.
+    """
+    if checkpoint_fn is None:
+        checkpoint_fn = lambda df, i: df.localCheckpoint(eager=True)  # noqa: E731
+
+    # directed representation: (a, b) with a > b after the first small-star
+    e = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+    )
+    e = checkpoint_fn(e, 0)
+    prev_sig = None
+    for it in range(1, max_iters + 1):
+        # ---- large-star over the symmetric view ----
+        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("a", "mn").alias("m"))
+        ls = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star over the directed (big -> small) view ----
+        mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss = (
+            ls.join(mins2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e = checkpoint_fn(ss, it)
+        sig = e.agg(
+            F.count("*").alias("n"), F.sum(F.xxhash64("a", "b") % 1_000_003).alias("h")
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+
+    roots = e.select(F.col("b").alias("id")).distinct().join(
+        e.select(F.col("a").alias("id")).distinct(), "id", "left_anti"
+    )
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("component")).unionByName(
+        roots.select("id", F.col("id").alias("component"))
+    )
+    if vertices is None:
+        return labels
+    verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    singletons = verts.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("component")
+    )
+    return labels.unionByName(singletons)

@@ -29,10 +29,11 @@ def band_buckets(
     df: DataFrame, id_col: str = "image_id", sig_col: str = "minhash",
     cfg: DedupConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """(id, band, bucket) — one row per band; bucket = JVM hash of the band's
-    signature slice (+band id to decorrelate bands)."""
+    """(id, band, bucket) — one row per band.  The band index is folded INTO
+    the bucket hash (xxhash64 of the slice, salted by the band id), so the
+    bucket alone is a valid join/grouping key; `band` is kept for metrics."""
     slices = [
-        F.hash(F.slice(F.col(sig_col), b * cfg.rows_per_band + 1, cfg.rows_per_band), F.lit(b))
+        F.xxhash64(F.slice(F.col(sig_col), b * cfg.rows_per_band + 1, cfg.rows_per_band), F.lit(b))
         for b in range(cfg.num_bands)
     ]
     return df.select(
@@ -55,26 +56,34 @@ def candidate_pairs(
 ):
     """Distinct (src, dst) candidate pairs (src < dst) from shared buckets.
 
+    ONE shuffle: groupBy(bucket) -> collect_list(ids), then the pair
+    expansion happens map-side in a native nested-transform expression
+    (whole-stage codegen; the bucket cap bounds the quadratic blow-up).
+    This replaces the classic bucket self-join, which costs an extra
+    size-filter aggregation plus join exchanges of the full membership.
+
     Returns df, or (df, SkewMetrics) when with_metrics=True (metrics trigger
-    one extra action over the small bucket-size aggregate only)."""
-    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap)).drop("n")
-    # inner join back; the filtered membership is consumed twice by the
-    # self-join, so materialize it once (it is already pair-pruned: only
-    # buckets with 2..cap members survive)
-    member = buckets.join(ok, ["band", "bucket"]).persist()
-    a = member.alias("a")
-    b = member.alias("b")
+    one extra action over the small per-bucket aggregate only)."""
+    grouped = buckets.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
+    sized = grouped.withColumn("n", F.size("ids"))
+    ok = sized.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap))
     pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        ok.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .dropDuplicates(["src", "dst"])
     )
     if not with_metrics:
         return pairs
     capped = (
-        sizes.filter(F.col("n") > cfg.bucket_cap)
+        sized.filter(F.col("n") > cfg.bucket_cap)
         .agg(F.count("*").alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r"))
         .collect()[0]
     )
@@ -89,10 +98,10 @@ def salted_candidate_pairs(
     (si <= sj), so no single task materializes the whole quadratic bucket.
     Emits ALL pairs (no recall loss) at ~2x shuffle volume for hot buckets;
     use when dropped mass from capping is unacceptable."""
-    sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("n"))
     hot = sizes.filter(F.col("n") > cfg.bucket_cap).drop("n")
-    cold_pairs = candidate_pairs(buckets.join(hot, ["band", "bucket"], "left_anti"), cfg)
-    hot_rows = buckets.join(hot, ["band", "bucket"]).withColumn(
+    cold_pairs = candidate_pairs(buckets.join(hot, ["bucket"], "left_anti"), cfg)
+    hot_rows = buckets.join(hot, ["bucket"]).withColumn(
         "salt", F.pmod(F.xxhash64("id"), F.lit(num_salts))
     )
     grid = (
@@ -104,15 +113,13 @@ def salted_candidate_pairs(
     )
     left = hot_rows.join(F.broadcast(grid), hot_rows.salt == grid.si)
     right = hot_rows.select(
-        F.col("band").alias("band_r"), F.col("bucket").alias("bucket_r"),
+        F.col("bucket").alias("bucket_r"),
         F.col("id").alias("id_r"), F.col("salt").alias("salt_r"),
     )
     hot_pairs = (
         left.join(
             right,
-            (F.col("band") == F.col("band_r"))
-            & (F.col("bucket") == F.col("bucket_r"))
-            & (F.col("sj") == F.col("salt_r")),
+            (F.col("bucket") == F.col("bucket_r")) & (F.col("sj") == F.col("salt_r")),
         )
         .filter(F.col("id") < F.col("id_r"))
         .select(F.col("id").alias("src"), F.col("id_r").alias("dst"))

@@ -41,15 +41,11 @@ def shingle_set_np(s: str, k: int) -> np.ndarray:
     """Deduped uint64 hashes of all k-byte windows of the normalized text.
     Texts shorter than k hash as a single whole-text shingle."""
     b = normalize_text(s).encode("utf-8")
+    if len(b) < k:
+        b = b.ljust(k, b"\x00")  # sub-k texts hash as one zero-padded window
     arr = np.frombuffer(b, dtype=np.uint8)
-    if arr.size == 0:
-        arr = np.zeros(1, dtype=np.uint8)
-    if arr.size <= k:
-        win = arr[None, :]
-        powers = _POLY_BASE ** np.arange(arr.size, dtype=np.uint64)
-    else:
-        win = np.lib.stride_tricks.sliding_window_view(arr, k)
-        powers = _POLY_BASE ** np.arange(k, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k)
+    powers = _POLY_BASE ** np.arange(k, dtype=np.uint64)
     h = win.astype(np.uint64) @ powers  # wraps mod 2^64
     return np.unique(h)
 
@@ -73,17 +69,90 @@ def minhash_np(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
     return out
 
 
-def minhash_batch(texts: pd.Series, cfg: DedupConfig) -> tuple[list, list]:
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+_HOP = np.uint64(0x9E37)  # densification hop offset; values are 63-bit so
+                          # accumulated hops can never collide with _EMPTY
+
+
+def _splitmix(z: np.ndarray) -> np.ndarray:
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _oph_signatures(sets: list[np.ndarray], cfg: DedupConfig) -> np.ndarray:
+    """OPH over explicit per-row shingle sets (keep_shingles path)."""
+    n = len(sets)
+    lens = np.fromiter((s.size for s in sets), dtype=np.int64, count=n)
+    flat = np.concatenate(sets).astype(np.uint64)
+    row = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return _oph_signatures_flat(flat, row, n, cfg)
+
+
+def _oph_signatures_flat(
+    flat: np.ndarray, row: np.ndarray, n: int, cfg: DedupConfig
+) -> np.ndarray:
+    """One-permutation hashing: each shingle hash lands in ONE of P bins
+    (its top log2(P) bits); the signature is the per-bin min of a value
+    hash.  Empty bins are filled by rotation densification (nearest
+    non-empty bin to the right, +HOP per hop) — the unbiased estimator of
+    Shrivastava & Li.  O(total_shingles log) via one sort+reduceat, vs
+    O(P * total_shingles) for classic k-permutation MinHash.  Duplicate
+    shingles in `flat` are harmless (min over a multiset)."""
+    P = cfg.num_perm
+    logp = P.bit_length() - 1
+    assert (1 << logp) == P, "num_perm must be a power of two for OPH"
+    seed = np.uint64(cfg.minhash_seed)
+    mixed = _splitmix(flat.astype(np.uint64) ^ seed)
+    bins = (mixed >> np.uint64(64 - logp)).astype(np.int64)
+    vals = _splitmix(mixed) >> np.uint64(1)  # 63-bit values, < _EMPTY
+    key = row.astype(np.int64) * P + bins
+    order = np.argsort(key, kind="stable")
+    k_s, v_s = key[order], vals[order]
+    starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+    mins = np.minimum.reduceat(v_s, starts)
+    M = np.full(n * P, _EMPTY, dtype=np.uint64)
+    M[k_s[starts]] = mins
+    M = M.reshape(n, P)
+    # rotation densification: iterate borrowing from the immediate right
+    # neighbor (cyclic); only rows that still have empty bins participate
+    rows_left = np.flatnonzero((M == _EMPTY).any(axis=1))
+    while rows_left.size:
+        sub = M[rows_left]
+        donor = np.roll(sub, -1, axis=1)
+        fill = (sub == _EMPTY) & (donor != _EMPTY)
+        sub[fill] = donor[fill] + _HOP
+        M[rows_left] = sub
+        rows_left = rows_left[(sub == _EMPTY).any(axis=1)]
+    # Interleave bins across LSH bands: densification copies a bin's
+    # agreement onto its (empty) neighbors, so CONTIGUOUS bins are strongly
+    # correlated — banding them together inflates false-candidate rates by
+    # orders of magnitude.  Reorder so the contiguous slice for band k holds
+    # bins {k, k+B, k+2B, k+3B}; copied runs then spread across different
+    # bands and each band's bins are effectively independent.
+    n_bands = cfg.num_bands
+    perm = np.arange(P).reshape(cfg.rows_per_band, n_bands).T.reshape(-1)
+    return M[:, perm].view(np.int64)
+
+
+def minhash_batch(
+    texts: pd.Series, cfg: DedupConfig, need_sets: bool = True
+) -> tuple[list, list]:
     """Vectorized per-batch kernel: returns (shingle sets, signatures) as
-    lists of int64 ndarrays.  Signatures are computed with a single
-    reduceat over the concatenated shingle arrays per permutation chunk —
-    O(P * total_shingles) with no per-row Python in the hot loop."""
-    a, b = _perm_params(cfg)
-    sets = [shingle_set_np(t if t is not None else "", cfg.shingle_k) for t in texts]
-    lens = np.fromiter((s.size for s in sets), dtype=np.int64, count=len(sets))
-    if len(sets) == 0:
+    lists of int64 ndarrays.  Scheme per cfg.minhash_scheme: OPH (default,
+    one sort+reduceat pass over the concatenated shingles) or classic
+    k-permutation (reduceat per permutation chunk).  need_sets=False skips
+    returning the sets (they are still computed for hashing)."""
+    if len(texts) == 0:
         return [], []
-    flat = np.concatenate(sets) if len(sets) else np.empty(0, dtype=np.uint64)
+    sets = [shingle_set_np(t if t is not None else "", cfg.shingle_k) for t in texts]
+    if cfg.minhash_scheme == "oph":
+        sigs = list(_oph_signatures(sets, cfg))
+        return ([s.view(np.int64) for s in sets] if need_sets else []), sigs
+    a, b = _perm_params(cfg)
+    lens = np.fromiter((s.size for s in sets), dtype=np.int64, count=len(sets))
+    flat = np.concatenate(sets)
     offsets = np.zeros(len(sets), dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     P = cfg.num_perm
@@ -106,9 +175,14 @@ _SIG_SCHEMA = T.StructType(
 
 def with_signatures(
     df: DataFrame, text_col: str = "caption", cfg: DedupConfig = DEFAULT_CONFIG,
-    repartition: bool = True,
+    repartition: bool = True, keep_shingles: bool = True,
 ) -> DataFrame:
-    """Add `shingles: array<long>` and `minhash: array<long>` columns.
+    """Add `minhash: array<long>` (and, when keep_shingles, the
+    `shingles: array<long>` set) columns.
+
+    keep_shingles=False skips materializing the shingle sets (~1 KB/row of
+    Arrow transfer + cache); the verification stage recomputes shingles for
+    the tiny candidate subset instead (verify.verify_jaccard_text).
 
     The Arrow kernel's parallelism equals the input partition count; a
     column-pruned scan of a few large files yields too few partitions to
@@ -122,8 +196,16 @@ def with_signatures(
             sets, sigs = minhash_batch(texts, cfg)
             yield pd.DataFrame({"shingles": sets, "minhash": sigs})
 
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_only_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batch_iter:
+            _, sigs = minhash_batch(texts, cfg, need_sets=False)
+            yield pd.Series(sigs)
+
     if repartition:
         df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if not keep_shingles:
+        return df.withColumn("minhash", sig_only_udf(F.col(text_col)))
     out = df.withColumn("__sig", sig_udf(F.col(text_col)))
     return out.withColumn("shingles", F.col("__sig.shingles")).withColumn(
         "minhash", F.col("__sig.minhash")

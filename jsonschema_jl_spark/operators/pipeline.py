@@ -16,7 +16,7 @@ from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
 from jsonschema_jl_spark.gate.gate import gate_filter
 from jsonschema_jl_spark.operators.minhash import with_signatures
 from jsonschema_jl_spark.operators.lsh import band_buckets, candidate_pairs
-from jsonschema_jl_spark.operators.verify import verify_jaccard
+from jsonschema_jl_spark.operators.verify import verify_jaccard_text
 from jsonschema_jl_spark.operators.phash import phash_pairs
 from jsonschema_jl_spark.operators.substring import containment_pairs
 from jsonschema_jl_spark.operators.components import connected_components
@@ -62,48 +62,57 @@ def dedup_pipeline(
     gate_schema = IMAGES_GATE_SCHEMA if gate_schema is None else gate_schema
 
     valid = gate_filter(images, gate_schema)
-    # column pruning: only what dedup needs flows past the gate
-    slim = valid.select("image_id", "caption", "phash")
+    # column pruning: only what dedup needs flows past the gate.  The string
+    # image_id is dictionary-encoded to a 64-bit hash for the hot path —
+    # bucket/gram/block explosions shuffle tens of rows per image, and a
+    # fixed-width long beats a 15-char string in every exchange and join.
+    # (At 10^12 rows you would zipWithIndex against the Iceberg snapshot
+    # instead; xxhash64 collisions are ~n^2/2^64 — negligible at bench scale
+    # and detectable by the final re-join.)
+    slim = valid.select(
+        F.xxhash64("image_id").alias("nid"), "image_id", "caption", "phash"
+    )
     # rebalance: the pruned projection of a wide table collapses to few scan
     # partitions; every downstream kernel (minhash UDF, phash explode,
     # containment grams) inherits that, so rebalance once to full parallelism
     par = images.sparkSession.sparkContext.defaultParallelism
     slim = slim.repartition(par)
     if persist:
-        # slim feeds three detectors (minhash, phash, containment) — persist
-        # so the scan+gate run once.  At cluster scale this is the Iceberg
-        # signature-checkpoint write (P13) instead of executor memory.
+        # slim feeds three detector branches (minhash, phash, containment) —
+        # persist AND materialize eagerly: the branches fan out inside one
+        # job, and a lazily-persisted subtree would be recomputed
+        # concurrently by each branch before the cache populates.  At
+        # cluster scale this is the Iceberg signature-checkpoint write (P13)
+        # instead of executor memory.
         slim = slim.persist()
+        slim.count()
 
-    sigs = with_signatures(slim, text_col="caption", cfg=cfg)
-    if persist:
-        # reused by banding AND jaccard verification — compute the Python
-        # kernel once, and materialize EAGERLY: the three detector branches
-        # fan out from these frames inside one job, and a lazily-persisted
-        # subtree would be recomputed concurrently by each branch before the
-        # cache populates (at cluster scale: the P13 signature-table write)
-        sigs = sigs.persist()
-        sigs.count()
+    # signatures stream straight into banding (their only consumer since
+    # Jaccard verification recomputes shingles from candidate texts) — no
+    # persist: caching 1 KB/row of array data costs more than the kernel
+    sigs = with_signatures(slim, text_col="caption", cfg=cfg, keep_shingles=False)
 
-    buckets = band_buckets(sigs, id_col="image_id", sig_col="minhash", cfg=cfg)
+    buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
     if collect_metrics:
         cands, skew = candidate_pairs(buckets, cfg, with_metrics=True)
         skew_metrics = skew.as_dict()
     else:
         cands = candidate_pairs(buckets, cfg)
         skew_metrics = {}
-    caption_edges = verify_jaccard(cands, sigs, cfg=cfg).select(
+    caption_edges = verify_jaccard_text(cands, slim, id_col="nid", cfg=cfg).select(
         "src", "dst", F.lit("caption").alias("kind")
     )
 
     edge_parts = [caption_edges]
     if use_phash:
         edge_parts.append(
-            phash_pairs(slim, cfg=cfg).select("src", "dst", F.lit("phash").alias("kind"))
+            phash_pairs(slim, id_col="nid", cfg=cfg).select(
+                "src", "dst", F.lit("phash").alias("kind")
+            )
         )
     if use_containment:
         edge_parts.append(
-            containment_pairs(slim, cfg=cfg).select(
+            containment_pairs(slim, id_col="nid", cfg=cfg).select(
                 "src", "dst", F.lit("substring").alias("kind")
             )
         )
@@ -120,16 +129,27 @@ def dedup_pipeline(
         .select("src", "dst", F.col("k.kind").alias("kind"))
     )
 
-    labels = connected_components(
+    nid_labels = connected_components(
         edges.select("src", "dst"),
-        vertices=slim.select("image_id"),
+        vertices=slim.select("nid"),
         max_iters=cfg.cc_max_iters,
-    ).withColumnRenamed("id", "image_id")
+    )
+    # map the numeric hot-path ids back to image_ids (component keeps a
+    # stable representative: the image_id of its min-nid member)
+    iddict = slim.select("nid", "image_id")
+    comp_names = iddict.select(
+        F.col("nid").alias("component"), F.col("image_id").alias("component_id")
+    )
+    labels = (
+        nid_labels.join(iddict, nid_labels.id == iddict.nid)
+        .join(comp_names, "component")
+        .select("image_id", F.col("component_id").alias("component"))
+    )
 
     return PipelineResult(
         labels=labels,
         edges=edges,
         signatures=sigs,
         metrics={"skew": skew_metrics, "config_hash": cfg.config_hash()},
-        _cached=(slim, sigs) if persist else (),
+        _cached=(slim,) if persist else (),
     )

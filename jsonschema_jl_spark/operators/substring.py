@@ -61,25 +61,37 @@ def containment_pairs(
 
     src/dst ordering: src is the contained (shorter) caption."""
     g = cfg.anchor_gram
+    s = cfg.anchor_stride
+    assert cfg.min_contained_len >= g + s - 1, "stride must fit the shortest probe"
     base = df.select(
         F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("txt")
     ).filter(F.length("txt") >= cfg.min_contained_len)
 
-    # contained side: hash of the first g chars (one row per doc)
+    # Sparse-anchor scheme (winnowing-style, EXACT): the container emits
+    # g-grams only at positions 1, 1+s, 1+2s, ...; the probe emits its first
+    # s g-grams.  If A occurs in B at offset o, A's gram at position p
+    # (1<=p<=s) lands at container position o+p, and exactly one p makes
+    # o+p ≡ 1 (mod s) — so every true containment survives with s*fewer
+    # exploded container rows.  Only (id, len, key) flows through the
+    # explode; candidate pairs re-fetch texts via narrow joins.
     probe = base.select(
-        "id", F.length("txt").alias("len"), F.xxhash64(F.substring("txt", 1, g)).alias("key")
+        "id",
+        F.length("txt").alias("len"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, {s}), i -> xxhash64(substr(txt, i, {g})))"
+                )
+            )
+        ).alias("key"),
     )
-    # container side: every distinct g-gram position hash.  Only (id, len,
-    # key) flows through the O(total_chars) explode — carrying the text here
-    # would shuffle O(len^2) bytes per doc; candidates re-fetch texts via a
-    # narrow join instead.
     grams = base.select(
         F.col("id").alias("id_b"),
         F.length("txt").alias("len_b"),
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, greatest(length(txt) - {g - 1}, 1)),"
+                    f"transform(sequence(1, greatest(length(txt) - {g - 1}, 1), {s}),"
                     f" i -> xxhash64(substr(txt, i, {g})))"
                 )
             )

@@ -48,3 +48,45 @@ def verify_jaccard(
     return out.filter(F.col("jaccard") >= F.lit(cfg.jaccard_tau)).select(
         "src", "dst", "jaccard"
     )
+
+
+def _make_text_jaccard_udf(cfg: DedupConfig):
+    from jsonschema_jl_spark.operators.minhash import shingle_set_np
+
+    @F.pandas_udf(T.DoubleType())
+    def text_jaccard(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a_col, b_col in it:
+            out = np.empty(len(a_col), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(a_col, b_col)):
+                if a is None or b is None:
+                    out[i] = 0.0
+                    continue
+                aa = shingle_set_np(a, cfg.shingle_k)
+                bb = shingle_set_np(b, cfg.shingle_k)
+                inter = np.intersect1d(aa, bb, assume_unique=True).size
+                out[i] = inter / (aa.size + bb.size - inter)
+            yield pd.Series(out)
+
+    return text_jaccard
+
+
+def verify_jaccard_text(
+    pairs: DataFrame,
+    texts: DataFrame,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Like verify_jaccard, but joins the candidate pairs back to the raw
+    text and recomputes shingle sets inside the UDF — candidates are a tiny
+    fraction of rows, so shipping ~150-byte captions for them beats
+    materializing ~1 KB shingle arrays for EVERY row upstream."""
+    t = texts.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    left = t.select(F.col("id").alias("src"), F.col("txt").alias("txt_src"))
+    right = t.select(F.col("id").alias("dst"), F.col("txt").alias("txt_dst"))
+    joined = pairs.join(left, "src").join(right, "dst")
+    udf = _make_text_jaccard_udf(cfg)
+    out = joined.withColumn("jaccard", udf(F.col("txt_src"), F.col("txt_dst")))
+    return out.filter(F.col("jaccard") >= F.lit(cfg.jaccard_tau)).select(
+        "src", "dst", "jaccard"
+    )

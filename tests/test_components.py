@@ -1,0 +1,74 @@
+"""Connected-components correctness: label propagation vs two-phase
+large-star/small-star vs a driver-side union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from jsonschema_jl_spark.operators.components import (
+    connected_components,
+    connected_components_twophase,
+)
+
+
+def _oracle(edges, vertices):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in vertices}
+
+
+def _check(spark, edges, vertices):
+    edf = spark.createDataFrame(edges or [("x", "x")], "src string, dst string")
+    if not edges:
+        edf = edf.filter("src != src")
+    vdf = spark.createDataFrame([(v,) for v in vertices], "id string")
+    want = _oracle(edges, vertices)
+    for fn in (connected_components, connected_components_twophase):
+        got = {r.id: r.component for r in fn(edf, vertices=vdf).collect()}
+        assert got == want, f"{fn.__name__} mismatch"
+
+
+def test_planted_clusters(spark):
+    vertices = [f"v{i:03d}" for i in range(60)]
+    edges = [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(0, 30, 3)]
+    edges += [("v040", "v041"), ("v041", "v042"), ("v040", "v042")]
+    _check(spark, edges, vertices)
+
+
+def test_long_chain(spark):
+    # high-diameter path: two-phase must converge well under O(n) rounds
+    n = 120
+    vertices = [f"c{i:03d}" for i in range(n)]
+    edges = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    vdf = spark.createDataFrame([(v,) for v in vertices], "id string")
+    got = {r.id: r.component for r in connected_components_twophase(edf, vertices=vdf, max_iters=12).collect()}
+    assert set(got.values()) == {"c000"}
+    assert len(got) == n
+
+
+def test_random_graph(spark):
+    rng = random.Random(7)
+    vertices = [f"r{i:03d}" for i in range(80)]
+    edges = [
+        (vertices[rng.randrange(80)], vertices[rng.randrange(80)]) for _ in range(50)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges, vertices)
+
+
+def test_no_edges(spark):
+    vertices = ["a", "b", "c"]
+    _check(spark, [], vertices)
