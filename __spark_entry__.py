@@ -144,6 +144,69 @@ def q_gate_events_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "isvalid")
 
 
+# Constructed-JSON gate queries: both engines build the SAME JSON text from
+# integer event fields (no float formatting drift), our gate validates it in
+# dynamic mode, and DuckDB mirrors the keyword semantics directly.
+
+def _arr_json() -> F.Column:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return F.concat(
+        F.lit("["), k.cast("string"), F.lit(", "),
+        (F.col("event_id") % 100).cast("string"), F.lit(", "),
+        (F.col("user_id") % 100).cast("string"), F.lit("]"),
+    )
+
+
+_ARR_UNIQUE_SCHEMA = {
+    "type": "array",
+    "items": {"type": "integer", "minimum": 0, "maximum": 99},
+    "minItems": 1,
+    "maxItems": 3,
+    "uniqueItems": True,
+}
+
+
+def q_gate_array_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("arr_json", _arr_json())
+    out = apply_gate(ev, _ARR_UNIQUE_SCHEMA, json_col="arr_json")
+    return out.select("event_id", "isvalid")
+
+
+def q_gate_array_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("arr_json", _arr_json())
+    out = apply_gate(ev, {"contains": {"minimum": 95}}, json_col="arr_json")
+    return out.select("event_id", "isvalid")
+
+
+def _obj_json() -> F.Column:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit('{"a": '), k.cast("string"), F.lit("}")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"a": '), k.cast("string"),
+            F.lit(', "b": '), (F.col("event_id") % 10).cast("string"), F.lit("}"),
+        )
+    )
+
+
+def q_gate_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("obj_json", _obj_json())
+    schema = {"dependencies": {"b": {"properties": {"a": {"maximum": 25}}}}}
+    out = apply_gate(ev, schema, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
+def q_gate_property_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "obj_json", F.concat(F.lit('{"'), F.col("event_type"), F.lit('": 1}'))
+    )
+    schema = {"propertyNames": {"minLength": 5}, "patternProperties": {"^e": {"maximum": 0}}}
+    out = apply_gate(ev, schema, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
 # ---------------------------------------------------------------------------
 # dedup / text queries over documents
 # ---------------------------------------------------------------------------
@@ -289,6 +352,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_docs_typed": q_gate_docs_typed,
         "gate_events_oneof": q_gate_events_oneof,
         "gate_events_conditional": q_gate_events_conditional,
+        "gate_array_unique": q_gate_array_unique,
+        "gate_array_contains": q_gate_array_contains,
+        "gate_dependencies": q_gate_dependencies,
+        "gate_property_names": q_gate_property_names,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
         "doc_text_features": q_doc_text_features,
@@ -408,6 +475,30 @@ def oracle_sql() -> dict[str, str]:
         "gate_events_conditional": """
           SELECT event_id,
                  CASE WHEN event_type = 'error' THEN value <= 250 ELSE value <= 450 END AS isvalid
+          FROM events
+        """,
+        "gate_array_unique": """
+          WITH a AS (SELECT event_id,
+                            CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                            event_id % 100 AS e, user_id % 100 AS u
+                     FROM events)
+          SELECT event_id, (k != e AND k != u AND e != u) AS isvalid FROM a
+        """,
+        "gate_array_contains": """
+          WITH a AS (SELECT event_id,
+                            CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                            event_id % 100 AS e, user_id % 100 AS u
+                     FROM events)
+          SELECT event_id, (k >= 95 OR e >= 95 OR u >= 95) AS isvalid FROM a
+        """,
+        "gate_dependencies": """
+          SELECT event_id,
+                 (event_id % 2 = 0 OR CAST(json_extract(props, '$.k') AS BIGINT) <= 25) AS isvalid
+          FROM events
+        """,
+        "gate_property_names": """
+          SELECT event_id,
+                 (length(event_type) >= 5 AND NOT starts_with(event_type, 'e')) AS isvalid
           FROM events
         """,
         "doc_exact_dedup": f"""
