@@ -305,9 +305,23 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: hyperplane signs use engine-private random planes
-    emb = _emb(spark, sf_dir)
-    return lsh_ann_pairs(emb, dim=64, n_planes=10, n_tables=4, min_cos=0.6)
+    # rows-only: hyperplane signs use engine-private random planes.
+    # The driver embeddings are near-random (max pairwise cos ~0.5), so to
+    # demonstrate recall the corpus is augmented with deterministic near-dup
+    # copies (vec_id + 10^6, each coordinate nudged by a fixed small delta,
+    # cos ~0.999); LSH at min_cos=0.95 must recover exactly those pairs.
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    near = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + (F.pmod(i, F.lit(7)) - F.lit(3.0)) * F.lit(1e-3)
+        ).alias("embedding"),
+    )
+    return lsh_ann_pairs(
+        emb.unionByName(near), dim=64, n_planes=10, n_tables=8, min_cos=0.95
+    ).select("src", "dst")
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +349,24 @@ def q_images_gate_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy(F.col("issue.reason").alias("reason"))
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("reason").asc_nulls_first())
+    )
+
+
+def q_images_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: multimodal decode/feature kernel (DuckDB cannot decode PNG)
+    from jsonschema_jl_spark.operators.multimodal import with_image_features
+
+    images = images_from_documents(spark, sf_dir)
+    return (
+        with_image_features(images)
+        .select("fmt", "img_features.*")
+        .groupBy("fmt", "decode_ok")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("decoded_w"), 2).alias("avg_w"),
+            F.round(F.avg("decoded_h"), 2).alias("avg_h"),
+        )
+        .orderBy("fmt", "decode_ok")
     )
 
 
@@ -370,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_pairs": q_emb_ann_pairs,
         "images_dedup_clusters": q_images_dedup_clusters,
         "images_gate_breakdown": q_images_gate_breakdown,
+        "images_features": q_images_features,
         "doc_minhash_signatures": q_doc_minhash_signatures,
     }
 

@@ -14,7 +14,10 @@ from jsonschema_jl_spark.operators.multimodal import (
     png_decode,
     png_encode,
     psnr,
+    resize_pixels,
     with_image_features,
+    with_resized,
+    with_sampled_frames,
 )
 from jsonschema_jl_spark.operators.similarity import cosine_topk, lsh_ann_pairs
 from jsonschema_jl_spark.operators.lsh import band_buckets, candidate_pairs, salted_candidate_pairs
@@ -66,6 +69,46 @@ def test_with_image_features(spark):
         assert r.decode_ok
         assert r.decoded_w == r.w and r.decoded_h == r.h
         assert 0 <= r.mean_r <= 255
+
+
+def test_resize_pixels_vectorized():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    small = resize_pixels(px, 12, 8)
+    assert small.shape == (8, 12, 3)
+    # nearest-neighbor: every output pixel exists in the input
+    assert small[0, 0].tolist() == px[0, 0].tolist()
+
+
+def test_with_resized(spark):
+    df = generate_images(spark, 30, CFG, with_malformed=False)
+    out = with_resized(df, 16, 16).select("image_id", "fmt", "resized.*").collect()
+    assert len(out) == 30
+    # datagen writes PNG payloads for every fmt label, so all rows resize
+    for r in out:
+        assert r.resize_ok and r.w == 16 and r.h == 16
+        assert decode_image(bytes(r.bytes), "png").shape == (16, 16, 3)
+
+
+def test_with_resized_lossy_passthrough(spark):
+    """A payload with no in-container codec passes through unchanged with
+    resize_ok=false instead of failing the job."""
+    df = spark.createDataFrame(
+        [("x1", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), "jpeg")],
+        "image_id string, bytes binary, fmt string",
+    )
+    r = with_resized(df, 16, 16).select("resized.*").collect()[0]
+    assert not r.resize_ok and bytes(r.bytes) == b"\xff\xd8\xff\xe0 fake jpeg"
+
+
+def test_with_sampled_frames(spark):
+    df = generate_images(spark, 10, CFG, with_malformed=False)
+    out = with_sampled_frames(df, every_n=2).select("image_id", "sampled.*").collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r.frame_idx) == len(r.frames) >= 1
+        assert r.frame_idx == sorted(r.frame_idx)
+        assert all(i % 2 == 0 for i in r.frame_idx)
 
 
 # ---------------------------------------------------------------------------
