@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 from jsonschema_jl_spark.gate import Schema, is_valid, validate, diagnose
 from jsonschema_jl_spark.gate.gate import apply_gate
 
-FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "suite_cases.json")
+_FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
 
-with open(FIXTURES, encoding="utf-8") as fh:
-    GROUPS = json.load(fh)
+GROUPS = []
+for _name in ("suite_cases.json", "suite_cases_extra.json"):
+    with open(os.path.join(_FIXTURE_DIR, _name), encoding="utf-8") as fh:
+        GROUPS.extend(json.load(fh))
 
 CASES = [
     pytest.param(
