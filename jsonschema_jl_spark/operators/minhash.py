@@ -31,16 +31,42 @@ _POLY_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
 
 def normalize_text(s: str) -> str:
     """NFC + casefold + whitespace collapse.  Single definition shared by the
-    distributed kernel and the driver-side exact oracle."""
+    distributed kernel and the driver-side exact oracle.  Idempotent (NFC,
+    Unicode full case folding, and whitespace collapse each are), so a
+    pre-normalized pipeline and a normalize-inside-kernel caller produce
+    identical shingles."""
     s = unicodedata.normalize("NFC", s)
     s = s.casefold()
     return " ".join(s.split())
 
 
-def shingle_set_np(s: str, k: int) -> np.ndarray:
+def normalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized normalize_text over a batch (pandas .str kernels); nulls
+    pass through."""
+    mask = s.notna()
+    if not mask.any():
+        return s
+    out = s.copy()
+    vals = s[mask].astype(str)
+    out[mask] = vals.str.normalize("NFC").str.casefold().str.split().str.join(" ")
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def normalize_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Arrow-batched caption normalization (P2).  The pipeline applies this
+    ONCE into its persisted projection; every downstream text kernel
+    (shingles/MinHash, containment grams, Jaccard verify) then runs with
+    normalized=True instead of each re-normalizing the full corpus."""
+    for s in it:
+        yield normalize_series(s)
+
+
+def shingle_set_np(s: str, k: int, normalized: bool = False) -> np.ndarray:
     """Deduped uint64 hashes of all k-byte windows of the normalized text.
-    Texts shorter than k hash as a single whole-text shingle."""
-    b = normalize_text(s).encode("utf-8")
+    Texts shorter than k hash as a single whole-text shingle.
+    normalized=True skips normalize_text (caller already applied it)."""
+    b = (s if normalized else normalize_text(s)).encode("utf-8")
     if len(b) < k:
         b = b.ljust(k, b"\x00")  # sub-k texts hash as one zero-padded window
     arr = np.frombuffer(b, dtype=np.uint8)
@@ -137,7 +163,7 @@ def _oph_signatures_flat(
 
 
 def minhash_batch(
-    texts: pd.Series, cfg: DedupConfig, need_sets: bool = True
+    texts: pd.Series, cfg: DedupConfig, need_sets: bool = True, normalized: bool = False
 ) -> tuple[list, list]:
     """Vectorized per-batch kernel: returns (shingle sets, signatures) as
     lists of int64 ndarrays.  Scheme per cfg.minhash_scheme: OPH (default,
@@ -146,7 +172,10 @@ def minhash_batch(
     returning the sets (they are still computed for hashing)."""
     if len(texts) == 0:
         return [], []
-    sets = [shingle_set_np(t if t is not None else "", cfg.shingle_k) for t in texts]
+    sets = [
+        shingle_set_np(t if t is not None else "", cfg.shingle_k, normalized=normalized)
+        for t in texts
+    ]
     if cfg.minhash_scheme == "oph":
         sigs = list(_oph_signatures(sets, cfg))
         return ([s.view(np.int64) for s in sets] if need_sets else []), sigs
@@ -176,6 +205,7 @@ _SIG_SCHEMA = T.StructType(
 def with_signatures(
     df: DataFrame, text_col: str = "caption", cfg: DedupConfig = DEFAULT_CONFIG,
     repartition: bool = True, keep_shingles: bool = True,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Add `minhash: array<long>` (and, when keep_shingles, the
     `shingles: array<long>` set) columns.
@@ -193,13 +223,13 @@ def with_signatures(
     @F.pandas_udf(_SIG_SCHEMA)
     def sig_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in batch_iter:
-            sets, sigs = minhash_batch(texts, cfg)
+            sets, sigs = minhash_batch(texts, cfg, normalized=assume_normalized)
             yield pd.DataFrame({"shingles": sets, "minhash": sigs})
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_only_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in batch_iter:
-            _, sigs = minhash_batch(texts, cfg, need_sets=False)
+            _, sigs = minhash_batch(texts, cfg, need_sets=False, normalized=assume_normalized)
             yield pd.Series(sigs)
 
     if repartition:

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
 from jsonschema_jl_spark.gate.gate import gate_filter
-from jsonschema_jl_spark.operators.minhash import with_signatures
+from jsonschema_jl_spark.operators.minhash import with_signatures, normalize_udf
 from jsonschema_jl_spark.operators.lsh import band_buckets, candidate_pairs
 from jsonschema_jl_spark.operators.verify import verify_jaccard_text
 from jsonschema_jl_spark.operators.phash import phash_pairs
@@ -41,7 +41,7 @@ IMAGES_GATE_SCHEMA: dict = {
 class PipelineResult:
     labels: DataFrame          # (image_id, component)
     edges: DataFrame           # (src, dst, kind)
-    signatures: DataFrame      # (image_id, caption, phash, shingles, minhash)
+    signatures: DataFrame      # (image_id, txt_norm, phash, minhash)
     metrics: dict = field(default_factory=dict)
     _cached: tuple = ()
 
@@ -69,8 +69,15 @@ def dedup_pipeline(
     # (At 10^12 rows you would zipWithIndex against the Iceberg snapshot
     # instead; xxhash64 collisions are ~n^2/2^64 — negligible at bench scale
     # and detectable by the final re-join.)
+    # caption normalization (P2) happens HERE, exactly once: slim is
+    # persisted and feeds all three text consumers (MinHash, containment,
+    # Jaccard verify), which run with assume_normalized=True — one string
+    # pass over the corpus instead of five-plus.
     slim = valid.select(
-        F.xxhash64("image_id").alias("nid"), "image_id", "caption", "phash"
+        F.xxhash64("image_id").alias("nid"),
+        "image_id",
+        normalize_udf(F.col("caption")).alias("txt_norm"),
+        "phash",
     )
     # rebalance: the pruned projection of a wide table collapses to few scan
     # partitions; every downstream kernel (minhash UDF, phash explode,
@@ -90,7 +97,9 @@ def dedup_pipeline(
     # signatures stream straight into banding (their only consumer since
     # Jaccard verification recomputes shingles from candidate texts) — no
     # persist: caching 1 KB/row of array data costs more than the kernel
-    sigs = with_signatures(slim, text_col="caption", cfg=cfg, keep_shingles=False)
+    sigs = with_signatures(
+        slim, text_col="txt_norm", cfg=cfg, keep_shingles=False, assume_normalized=True
+    )
 
     buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
     if collect_metrics:
@@ -99,7 +108,9 @@ def dedup_pipeline(
     else:
         cands = candidate_pairs(buckets, cfg)
         skew_metrics = {}
-    caption_edges = verify_jaccard_text(cands, slim, id_col="nid", cfg=cfg).select(
+    caption_edges = verify_jaccard_text(
+        cands, slim, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
+    ).select(
         "src", "dst", F.lit("caption").alias("kind")
     )
 
@@ -112,7 +123,9 @@ def dedup_pipeline(
         )
     if use_containment:
         edge_parts.append(
-            containment_pairs(slim, id_col="nid", cfg=cfg).select(
+            containment_pairs(
+                slim, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
+            ).select(
                 "src", "dst", F.lit("substring").alias("kind")
             )
         )

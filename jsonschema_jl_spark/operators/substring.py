@@ -28,13 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
-from jsonschema_jl_spark.operators.minhash import normalize_text
-
-
-@F.pandas_udf(T.StringType())
-def normalize_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    for s in it:
-        yield s.map(lambda t: normalize_text(t) if t is not None else None)
+from jsonschema_jl_spark.operators.minhash import normalize_text, normalize_udf
 
 
 def _gram_hashes_udf(g: int):
@@ -56,16 +50,23 @@ def containment_pairs(
     text_col: str = "caption",
     cfg: DedupConfig = DEFAULT_CONFIG,
     anchor_cap: int = 10_000,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """(src, dst) with normalized src caption a strict substring of dst's.
 
-    src/dst ordering: src is the contained (shorter) caption."""
+    src/dst ordering: src is the contained (shorter) caption.
+    assume_normalized=True takes text_col as already normalize_text'd —
+    the pipeline normalizes once into its persisted projection, and this
+    DataFrame is referenced four times below (probe, grams, both text
+    fetches), so skipping re-normalization here avoids four extra full
+    string passes at scale."""
     g = cfg.anchor_gram
     s = cfg.anchor_stride
     assert cfg.min_contained_len >= g + s - 1, "stride must fit the shortest probe"
-    base = df.select(
-        F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("txt")
-    ).filter(F.length("txt") >= cfg.min_contained_len)
+    txt = F.col(text_col) if assume_normalized else normalize_udf(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), txt.alias("txt")).filter(
+        F.length("txt") >= cfg.min_contained_len
+    )
 
     # Sparse-anchor scheme (winnowing-style, EXACT): the container emits
     # g-grams only at positions 1, 1+s, 1+2s, ...; the probe emits its first

@@ -50,7 +50,7 @@ def verify_jaccard(
     )
 
 
-def _make_text_jaccard_udf(cfg: DedupConfig):
+def _make_text_jaccard_udf(cfg: DedupConfig, normalized: bool = False):
     from jsonschema_jl_spark.operators.minhash import shingle_set_np
 
     @F.pandas_udf(T.DoubleType())
@@ -61,8 +61,8 @@ def _make_text_jaccard_udf(cfg: DedupConfig):
                 if a is None or b is None:
                     out[i] = 0.0
                     continue
-                aa = shingle_set_np(a, cfg.shingle_k)
-                bb = shingle_set_np(b, cfg.shingle_k)
+                aa = shingle_set_np(a, cfg.shingle_k, normalized=normalized)
+                bb = shingle_set_np(b, cfg.shingle_k, normalized=normalized)
                 inter = np.intersect1d(aa, bb, assume_unique=True).size
                 out[i] = inter / (aa.size + bb.size - inter)
             yield pd.Series(out)
@@ -76,6 +76,7 @@ def verify_jaccard_text(
     id_col: str = "image_id",
     text_col: str = "caption",
     cfg: DedupConfig = DEFAULT_CONFIG,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Like verify_jaccard, but joins the candidate pairs back to the raw
     text and recomputes shingle sets inside the UDF — candidates are a tiny
@@ -85,7 +86,7 @@ def verify_jaccard_text(
     left = t.select(F.col("id").alias("src"), F.col("txt").alias("txt_src"))
     right = t.select(F.col("id").alias("dst"), F.col("txt").alias("txt_dst"))
     joined = pairs.join(left, "src").join(right, "dst")
-    udf = _make_text_jaccard_udf(cfg)
+    udf = _make_text_jaccard_udf(cfg, normalized=assume_normalized)
     out = joined.withColumn("jaccard", udf(F.col("txt_src"), F.col("txt_dst")))
     return out.filter(F.col("jaccard") >= F.lit(cfg.jaccard_tau)).select(
         "src", "dst", "jaccard"

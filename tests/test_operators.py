@@ -71,6 +71,24 @@ def test_with_image_features(spark):
         assert 0 <= r.mean_r <= 255
 
 
+def test_normalize_series_matches_scalar():
+    """Vectorized batch normalizer == scalar normalize_text (shared by the
+    oracle), including casefold expansion, final sigma, astral chars, and
+    null passthrough; and normalization is idempotent (the pre-normalized
+    pipeline contract relies on it)."""
+    import pandas as pd
+    from jsonschema_jl_spark.operators.minhash import normalize_series, normalize_text
+
+    cases = ["  Hello   WORLD  ", "Straße ẞ", "été", "ＡＢＣ", "ﬁn", "İstanbul",
+             "💩  x\t\ny", "", "a", None, "ΣΊΣΥΦΟΣ ΣΊΣΥΦΟΣ"]
+    out = normalize_series(pd.Series(cases, dtype=object))
+    for c, o in zip(cases, out):
+        expect = normalize_text(c) if c is not None else None
+        assert o == expect, (c, o, expect)
+        if c is not None:
+            assert normalize_text(expect) == expect
+
+
 def test_resize_pixels_vectorized():
     rng = np.random.default_rng(3)
     px = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
