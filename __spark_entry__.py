@@ -207,6 +207,120 @@ def q_gate_property_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "isvalid")
 
 
+# Numeric keywords over the typed part table (native Column path):
+# multipleOf (int divisor + fractional divisor with the reference's
+# isapprox tolerance, src/validation.jl:530-533) and draft-6 numeric
+# exclusive bounds (src/validation.jl:552-563, 593-604).
+_PART_NUMERIC_SCHEMA = {
+    "type": "object",
+    "required": ["p_partkey", "p_size", "p_retailprice"],
+    "properties": {
+        "p_size": {"multipleOf": 5, "exclusiveMaximum": 50, "exclusiveMinimum": 1},
+        "p_retailprice": {"multipleOf": 0.25},
+    },
+}
+
+
+def q_gate_numeric_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = apply_gate(_part(spark, sf_dir), _PART_NUMERIC_SCHEMA)
+    return out.select("p_partkey", "isvalid")
+
+
+# Draft-4 boolean exclusiveMaximum/Minimum: tightens the sibling bound to
+# strict (src/validation.jl:565-576, 606-617); our compiler normalizes at
+# compile time (SURVEY §4.1).
+_PART_DRAFT4_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "p_size": {
+            "minimum": 5, "exclusiveMinimum": True,
+            "maximum": 45, "exclusiveMaximum": True,
+        },
+    },
+}
+
+
+def q_gate_exclusive_draft4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = apply_gate(_part(spark, sf_dir), _PART_DRAFT4_SCHEMA)
+    return out.select("p_partkey", "isvalid")
+
+
+# Combinators allOf/anyOf/not (src/validation.jl:143-186) over typed rows.
+# NB `not` over a properties subschema fails rows where p_name is NULL
+# (absent key => inner schema passes => not fails) — the oracle mirrors it.
+_PART_COMBINATOR_SCHEMA = {
+    "allOf": [
+        {"properties": {"p_size": {"minimum": 5}}},
+        {"anyOf": [
+            {"properties": {"p_type": {"enum": ["PROMO", "ECONOMY"]}}},
+            {"properties": {"p_retailprice": {"maximum": 500}}},
+        ]},
+        {"not": {"properties": {"p_name": {"pattern": "^a"}}}},
+    ],
+}
+
+
+def q_gate_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = apply_gate(_part(spark, sf_dir), _PART_COMBINATOR_SCHEMA)
+    return out.select("p_partkey", "isvalid")
+
+
+# JSON type-lattice quirks (src/validation.jl:488-500): 12.0 IS an integer,
+# true is NOT (Julia Bool<:Number / Python bool<:int trap).  Constructed
+# instance cycles through k.0 / k.5 / true.
+def q_gate_integer_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.col("event_id") % 3
+    obj = (
+        F.when(m == 0, F.concat(F.lit('{"x": '), k.cast("string"), F.lit(".0}")))
+        .when(m == 1, F.concat(F.lit('{"x": '), k.cast("string"), F.lit(".5}")))
+        .otherwise(F.lit('{"x": true}'))
+    )
+    ev = _events(spark, sf_dir).withColumn("obj_json", obj)
+    out = apply_gate(ev, {"properties": {"x": {"type": "integer"}}}, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
+# Deep JSON equality for const/enum (src/validation.jl:117-136): arrays
+# compare elementwise, 25 == 25.0 across int/float, but true != 1.
+def q_gate_const_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = _events(spark, sf_dir).withColumn(
+        "obj_json", F.concat(F.lit('{"x": ['), k.cast("string"), F.lit(", 2]}"))
+    )
+    out = apply_gate(ev, {"properties": {"x": {"const": [25.0, 2]}}}, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
+def q_gate_enum_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = _events(spark, sf_dir).withColumn(
+        "obj_json", F.concat(F.lit('{"x": '), k.cast("string"), F.lit("}"))
+    )
+    schema = {"properties": {"x": {"enum": [10, "alpha", [1, 2], True]}}}
+    out = apply_gate(ev, schema, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
+# minProperties/maxProperties (src/validation.jl:727-752) +
+# additionalProperties-as-schema (src/validation.jl:406-426) over the
+# constructed 1-or-2-key object.
+def q_gate_props_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("obj_json", _obj_json())
+    out = apply_gate(ev, {"minProperties": 2, "maxProperties": 3}, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
+def q_gate_additional_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("obj_json", _obj_json())
+    schema = {
+        "properties": {"a": {"minimum": 10}},
+        "additionalProperties": {"maximum": 5},
+    }
+    out = apply_gate(ev, schema, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
 # ---------------------------------------------------------------------------
 # dedup / text queries over documents
 # ---------------------------------------------------------------------------
@@ -287,6 +401,30 @@ def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_components(edges, vertices=d.select("doc_id"), max_iters=30)
     return labels.select(F.col("id").alias("doc_id"), F.col("component"))
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus deterministic derived snippets (substr of every 7th
+    normalized doc) so exact-substring containment has planted positives."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", textops.normalized_text(F.col("text")).alias("txt")
+    )
+    derived = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.substring("txt", 5, 80).alias("txt"),
+    )
+    return docs.unionByName(derived)
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P9 exact-substring containment via the sparse-anchor join (operator is
+    # exact, so the DuckDB brute-force instr() oracle must agree pair-for-pair)
+    from jsonschema_jl_spark.operators.substring import containment_pairs
+
+    corpus = _containment_corpus(spark, sf_dir)
+    return containment_pairs(
+        corpus, id_col="doc_id", text_col="txt", cfg=CFG, assume_normalized=True
+    ).select("src", "dst")
 
 
 # ---------------------------------------------------------------------------
@@ -388,6 +526,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_array_contains": q_gate_array_contains,
         "gate_dependencies": q_gate_dependencies,
         "gate_property_names": q_gate_property_names,
+        "gate_numeric_bounds": q_gate_numeric_bounds,
+        "gate_exclusive_draft4": q_gate_exclusive_draft4,
+        "gate_combinators": q_gate_combinators,
+        "gate_integer_lattice": q_gate_integer_lattice,
+        "gate_const_deep": q_gate_const_deep,
+        "gate_enum_mixed": q_gate_enum_mixed,
+        "gate_props_count": q_gate_props_count,
+        "gate_additional_props": q_gate_additional_props,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_count": q_doc_token_count,
         "doc_text_features": q_doc_text_features,
@@ -398,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_hamming_pairs": q_doc_hamming_pairs,
         "doc_components": q_doc_components,
+        "doc_containment": q_doc_containment,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_pairs": q_emb_ann_pairs,
         "images_dedup_clusters": q_images_dedup_clusters,
@@ -534,6 +681,54 @@ def oracle_sql() -> dict[str, str]:
                  (length(event_type) >= 5 AND NOT starts_with(event_type, 'e')) AS isvalid
           FROM events
         """,
+        # multipleOf tolerance mirrors the reference's isapprox(y, round(y))
+        # with rel_tol = sqrt(eps) (src/validation.jl:530-533)
+        "gate_numeric_bounds": """
+          SELECT p_partkey,
+                 (p_partkey IS NOT NULL AND p_size IS NOT NULL AND p_retailprice IS NOT NULL
+                  AND p_size % 5 = 0 AND p_size < 50 AND p_size > 1
+                  AND abs(p_retailprice / 0.25 - round(p_retailprice / 0.25))
+                      <= 1.4901161193847656e-08
+                         * greatest(abs(p_retailprice / 0.25), abs(round(p_retailprice / 0.25)))
+                 ) AS isvalid
+          FROM part
+        """,
+        "gate_exclusive_draft4": """
+          SELECT p_partkey,
+                 (p_size IS NULL OR (p_size > 5 AND p_size < 45)) AS isvalid
+          FROM part
+        """,
+        "gate_combinators": """
+          SELECT p_partkey,
+                 ((p_size IS NULL OR p_size >= 5)
+                  AND ((p_type IS NULL OR p_type IN ('PROMO','ECONOMY'))
+                       OR (p_retailprice IS NULL OR p_retailprice <= 500))
+                  AND NOT (p_name IS NULL OR regexp_matches(p_name, '^a'))
+                 ) AS isvalid
+          FROM part
+        """,
+        "gate_integer_lattice": """
+          SELECT event_id, (event_id % 3 = 0) AS isvalid FROM events
+        """,
+        "gate_const_deep": """
+          SELECT event_id,
+                 (CAST(json_extract(props, '$.k') AS BIGINT) = 25) AS isvalid
+          FROM events
+        """,
+        "gate_enum_mixed": """
+          SELECT event_id,
+                 (CAST(json_extract(props, '$.k') AS BIGINT) = 10) AS isvalid
+          FROM events
+        """,
+        "gate_props_count": """
+          SELECT event_id, (event_id % 2 = 1) AS isvalid FROM events
+        """,
+        "gate_additional_props": """
+          SELECT event_id,
+                 (CAST(json_extract(props, '$.k') AS BIGINT) >= 10
+                  AND (event_id % 2 = 0 OR event_id % 10 <= 5)) AS isvalid
+          FROM events
+        """,
         "doc_exact_dedup": f"""
           SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
           FROM documents GROUP BY 1
@@ -609,6 +804,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
           FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
           GROUP BY d.doc_id
+        """,
+        "doc_containment": f"""
+          WITH n AS (SELECT doc_id, {_NORM_SQL} AS txt FROM documents),
+          corpus AS (
+            SELECT doc_id AS id, txt FROM n
+            UNION ALL
+            SELECT doc_id + 10000000, substr(txt, 5, 80) FROM n WHERE doc_id % 7 = 0),
+          base AS (SELECT id, txt FROM corpus WHERE length(txt) >= 16)
+          SELECT a.id AS src, b.id AS dst
+          FROM base a JOIN base b
+            ON a.id != b.id AND length(a.txt) < length(b.txt)
+          WHERE strpos(b.txt, a.txt) > 0
         """,
         "emb_cosine_topk": """
           WITH e AS (SELECT vec_id, embedding FROM embeddings),
