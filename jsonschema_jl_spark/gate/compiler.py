@@ -58,7 +58,14 @@ ISSUE_TYPE = T.StructType(
 
 
 class GateCheck:
-    """One compiled keyword check: a fail-condition Column + issue payload."""
+    """One compiled keyword check: a fail-condition Column + issue payload.
+
+    Invariant: `fail` never evaluates to NULL — every per-property condition
+    is guarded as `isNotNull(col) & ...` (false-dominant AND), and required/
+    boolean-schema checks are IsNull/literal based.  This lets consumers use
+    plain `~fail` (no coalesce), which Catalyst can De-Morgan into
+    `IsNull(col) OR <bound>` conjuncts that translate into parquet/Iceberg
+    scan PushedFilters; a coalesce() wrapper would block pushdown entirely."""
 
     __slots__ = ("fail", "path", "reason", "value_json", "instance_col")
 
@@ -300,10 +307,11 @@ def checks_to_issue_column(checks: list[GateCheck]) -> Column:
 
 
 def checks_to_valid_column(checks: list[GateCheck]) -> Column:
-    ok = F.lit(True)
+    ok = None
     for chk in checks:
-        ok = ok & ~F.coalesce(chk.fail, F.lit(False))
-    return ok
+        c = ~chk.fail  # fail is never NULL (GateCheck invariant) — keep the
+        ok = c if ok is None else (ok & c)  # shape pushdown-translatable
+    return F.lit(True) if ok is None else ok
 
 
 def necessary_condition(schema: Schema | dict, df_schema: T.StructType) -> Column | None:

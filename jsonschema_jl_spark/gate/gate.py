@@ -138,7 +138,7 @@ def gate_filter(
             checks = compile_native_checks(schema, df.schema)
             cond = None
             for chk in checks:
-                c = ~F.coalesce(chk.fail, F.lit(False))
+                c = ~chk.fail  # never NULL (GateCheck invariant) => pushable
                 cond = c if cond is None else (cond & c)
             return df if cond is None else df.filter(cond)
         except NotNativelyCompilable:
