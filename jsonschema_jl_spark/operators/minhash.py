@@ -76,6 +76,47 @@ def shingle_set_np(s: str, k: int, normalized: bool = False) -> np.ndarray:
     return np.unique(h)
 
 
+def _shingle_flat_batch(
+    texts, k: int, normalized: bool = False
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Batch-vectorized shingling: ONE polynomial-hash pass over the whole
+    Arrow batch instead of per-row numpy calls (~10x less per-row overhead).
+
+    Returns (flat_hashes uint64, row_ids int64, counts int64, n_rows).
+    flat_hashes contains every k-byte window hash per row IN ROW ORDER and
+    MAY contain duplicates — callers reduce with min (MinHash/OPH), where
+    duplicates are harmless; dedup when sets are needed happens per row
+    downstream.  Sub-k texts are zero-padded to one whole-text window,
+    matching shingle_set_np."""
+    bufs = []
+    for t in texts:
+        s = t if isinstance(t, str) else ("" if t is None else str(t))
+        b = (s if normalized else normalize_text(s)).encode("utf-8")
+        if len(b) < k:
+            b = b.ljust(k, b"\x00")
+        bufs.append(b)
+    n = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    counts = lens - (k - 1)                      # windows per row (>= 1)
+    arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)         # row start offsets in arr
+    np.cumsum(lens[:-1], out=starts[1:])
+    # global window positions, skipping windows that cross row boundaries
+    cum = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=cum[1:])
+    total = int(cum[-1] + counts[-1])
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pos = np.repeat(starts, counts) + (np.arange(total, dtype=np.int64) - np.repeat(cum, counts))
+    # Horner evaluation of the k-byte polynomial hash, wrapping mod 2^64 —
+    # identical to shingle_set_np's win @ powers (byte j weighted B^j, so
+    # accumulate from the highest byte index down)
+    h = np.zeros(total, dtype=np.uint64)
+    a64 = arr.astype(np.uint64)
+    for j in range(k - 1, -1, -1):
+        h = h * _POLY_BASE + a64[pos + j]
+    return h, row, counts, n
+
+
 def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(cfg.minhash_seed)
     a = rng.integers(1, 1 << 63, size=cfg.num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
@@ -172,26 +213,31 @@ def minhash_batch(
     returning the sets (they are still computed for hashing)."""
     if len(texts) == 0:
         return [], []
-    sets = [
-        shingle_set_np(t if t is not None else "", cfg.shingle_k, normalized=normalized)
-        for t in texts
-    ]
+    flat, row, counts, n = _shingle_flat_batch(texts, cfg.shingle_k, normalized=normalized)
+    sets: list = []
+    if need_sets:
+        # per-row dedup from the flat windows: one global (row, hash) sort,
+        # segment-unique, then split — matches shingle_set_np's np.unique
+        order = np.lexsort((flat, row))
+        f_s, r_s = flat[order], row[order]
+        keep = np.r_[True, (f_s[1:] != f_s[:-1]) | (r_s[1:] != r_s[:-1])]
+        f_u, r_u = f_s[keep].view(np.int64), r_s[keep]
+        bounds = np.searchsorted(r_u, np.arange(1, n, dtype=np.int64))
+        sets = np.split(f_u, bounds)
     if cfg.minhash_scheme == "oph":
-        sigs = list(_oph_signatures(sets, cfg))
-        return ([s.view(np.int64) for s in sets] if need_sets else []), sigs
+        sigs = list(_oph_signatures_flat(flat, row, n, cfg))
+        return sets, sigs
     a, b = _perm_params(cfg)
-    lens = np.fromiter((s.size for s in sets), dtype=np.int64, count=len(sets))
-    flat = np.concatenate(sets)
-    offsets = np.zeros(len(sets), dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
     P = cfg.num_perm
-    sigs = np.empty((P, len(sets)), dtype=np.uint64)
+    sigs = np.empty((P, n), dtype=np.uint64)
     step = 16
     for i in range(0, P, step):
         h = a[i : i + step, None] * flat[None, :] + b[i : i + step, None]
         sigs[i : i + step, :] = np.minimum.reduceat(h, offsets, axis=1)
     sigs_i64 = sigs.view(np.int64).T  # (rows, P)
-    return [s.view(np.int64) for s in sets], [sigs_i64[r] for r in range(len(sets))]
+    return sets, [sigs_i64[r] for r in range(n)]
 
 
 _SIG_SCHEMA = T.StructType(
