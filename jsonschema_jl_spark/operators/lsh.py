@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
 
@@ -56,19 +56,28 @@ def candidate_pairs(
 ):
     """Distinct (src, dst) candidate pairs (src < dst) from shared buckets.
 
-    ONE shuffle: groupBy(bucket) -> collect_list(ids), then the pair
-    expansion happens map-side in a native nested-transform expression
-    (whole-stage codegen; the bucket cap bounds the quadratic blow-up).
+    ONE shuffle of the big side: a windowed per-bucket count (exchange on
+    bucket + sort) filters to rows in shared, non-capped buckets FIRST, then
+    collect_list + map-side nested-transform pair expansion run on that
+    (small) survivor set reusing the same partitioning — no second exchange.
+
+    Ordering matters twice at scale: (a) collect_list's object buffers are
+    ~10x costlier per row than scalar aggs, so list-building must see only
+    the shared-bucket minority, not all O(rows x bands) bucket rows; (b) a
+    giant stop-shingle bucket would otherwise materialize its entire
+    membership as one array before the cap could drop it — the row-level
+    pre-filter caps memory per task regardless of bucket skew.
+
     This replaces the classic bucket self-join, which costs an extra
     size-filter aggregation plus join exchanges of the full membership.
 
     Returns df, or (df, SkewMetrics) when with_metrics=True (metrics trigger
-    one extra action over the small per-bucket aggregate only)."""
-    grouped = buckets.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
-    sized = grouped.withColumn("n", F.size("ids"))
-    ok = sized.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap))
+    one extra action over the per-bucket counts only)."""
+    sized_rows = buckets.withColumn("n", F.count("*").over(Window.partitionBy("bucket")))
+    ok_rows = sized_rows.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap))
+    grouped = ok_rows.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
     pairs = (
-        ok.select(
+        grouped.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (x, i) ->"
@@ -83,7 +92,8 @@ def candidate_pairs(
     if not with_metrics:
         return pairs
     capped = (
-        sized.filter(F.col("n") > cfg.bucket_cap)
+        buckets.groupBy("bucket").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cfg.bucket_cap)
         .agg(F.count("*").alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r"))
         .collect()[0]
     )
