@@ -427,6 +427,18 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst")
 
 
+def q_doc_containment_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P9 reference-style distributed suffix-array kernel — must produce the
+    # IDENTICAL pair set as the anchor join (same DuckDB oracle)
+    from jsonschema_jl_spark.operators.substring import suffix_array_containment
+
+    corpus = _containment_corpus(spark, sf_dir)
+    out = suffix_array_containment(corpus, id_col="doc_id", text_col="txt", cfg=CFG)
+    return out.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings
 # ---------------------------------------------------------------------------
@@ -545,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hamming_pairs": q_doc_hamming_pairs,
         "doc_components": q_doc_components,
         "doc_containment": q_doc_containment,
+        "doc_containment_sa": q_doc_containment_sa,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_pairs": q_emb_ann_pairs,
         "images_dedup_clusters": q_images_dedup_clusters,
@@ -806,6 +819,18 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY d.doc_id
         """,
         "doc_containment": f"""
+          WITH n AS (SELECT doc_id, {_NORM_SQL} AS txt FROM documents),
+          corpus AS (
+            SELECT doc_id AS id, txt FROM n
+            UNION ALL
+            SELECT doc_id + 10000000, substr(txt, 5, 80) FROM n WHERE doc_id % 7 = 0),
+          base AS (SELECT id, txt FROM corpus WHERE length(txt) >= 16)
+          SELECT a.id AS src, b.id AS dst
+          FROM base a JOIN base b
+            ON a.id != b.id AND length(a.txt) < length(b.txt)
+          WHERE strpos(b.txt, a.txt) > 0
+        """,
+        "doc_containment_sa": f"""
           WITH n AS (SELECT doc_id, {_NORM_SQL} AS txt FROM documents),
           corpus AS (
             SELECT doc_id AS id, txt FROM n

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
@@ -79,6 +80,23 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
     return timings, n_labeled, n_valid
 
 
+def scale_worker(cores: int, path: str) -> None:
+    """Child-process entry: one pipeline run at local[cores] on `path`.
+    Each scaling level gets a FRESH process (fresh JVM): sequential
+    stop/start of SparkContexts inside one JVM leaks Python-accumulator /
+    broken-pipe shutdown races into the next run and skews its wall time."""
+    spark = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=cores * 2)
+    df = spark.read.parquet(path)
+    n = df.count()
+    t0 = time.time()
+    res = dedup_pipeline(df, CFG, collect_metrics=False)
+    res.labels.count()
+    dt = time.time() - t0
+    res.cleanup()
+    stop_spark(spark)
+    print(json.dumps({"seconds": dt, "rows": n}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -126,14 +144,14 @@ def main() -> None:
             shutil.copytree(scale_path, shm_path)
         thr = {}
         for cores in pair:
-            s = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=cores * 2)
-            t0 = time.time()
-            res = dedup_pipeline(s.read.parquet(shm_path), CFG, collect_metrics=False)
-            res.labels.count()
-            dt = time.time() - t0
-            res.cleanup()
-            stop_spark(s)
-            thr[cores] = scale_rows / dt
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-worker",
+                 str(cores), shm_path],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            thr[cores] = scale_rows / rec["seconds"]
         lo, hi = pair
         scaling = {
             "rows": scale_rows,
@@ -160,4 +178,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        scale_worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

@@ -141,6 +141,14 @@ def dedup_pipeline(
         edges.groupBy("src", "dst").agg(F.min(F.struct("pri", "kind")).alias("k"))
         .select("src", "dst", F.col("k.kind").alias("kind"))
     )
+    # P10 materialization: CC symmetrizes edges as `edges UNION edges.swapped`
+    # — the edge subtree appears TWICE under that union, and Spark computes
+    # each union branch's lineage independently (exchange reuse does not
+    # cover the pandas-UDF candidate/verify/containment cascade), so without
+    # a cut here the entire detector cascade runs twice inside CC's first
+    # job (measured 2.7x the staged cost).  localCheckpoint in the sandbox;
+    # the Iceberg edge-table write at cluster scale.
+    edges = edges.localCheckpoint(eager=True)
 
     nid_labels = connected_components(
         edges.select("src", "dst"),

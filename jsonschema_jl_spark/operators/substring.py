@@ -178,7 +178,8 @@ def suffix_array_containment(
                     if len(p["ptxt"]) < len(srow["txt"]) and srow["suffix"].startswith(p["ptxt"]):
                         srcs.append(p["pid2"])
                         dsts.append(srow["id"])
-        return pd.DataFrame({"src": srcs, "dst": dsts})
+        # ids may be string (images) or int64 (documents) — schema says string
+        return pd.DataFrame({"src": srcs, "dst": dsts}, dtype=object).astype(str)
 
     tagged = tagged.withColumn("pid2", F.col("id"))
     out = (
