@@ -6,8 +6,10 @@ entry()    — flagship: gate -> MinHash/LSH -> verify -> phash -> containment
 queries()  — one entry per implemented operator (SURVEY.md §2 / §2.11).
 oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
 Non-SQL-expressible kernels (MinHash signatures over our private hash
-permutations, hyperplane-LSH buckets, the image pipeline itself) are
-rows-only entries.
+permutations, the full approximate image pipeline, PNG decode) are
+rows-only entries; everything else — including the LSH-ANN operator via
+a planted-pair construction and the typed gate breakdown via a CASE
+mirror of keyword order — is value-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -455,7 +457,6 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: hyperplane signs use engine-private random planes.
     # The driver embeddings are near-random (max pairwise cos ~0.5), so to
     # demonstrate recall the corpus is augmented with deterministic near-dup
     # copies (vec_id + 10^6, each coordinate nudged by a fixed small delta,
@@ -859,6 +860,52 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY round(dot / (qn * cn), 6) DESC, neighbor_id) AS rank
             FROM dots)
           SELECT query_id, neighbor_id, rank, cos FROM scored WHERE rank <= 3
+        """,
+        # LSH-ANN at cos>=0.95 over the augmented corpus: the only pairs
+        # above threshold are the planted (v, v+1e6) near-copies (base
+        # corpus max pairwise cos ~0.5, verified exactly by the engine);
+        # 10-plane x 8-table hyperplane LSH misses a cos~0.999 pair with
+        # probability ~1e-7, so the engine's verified output IS the planted
+        # set — making the approximate operator exactly oracle-checkable.
+        "emb_ann_pairs": """
+          SELECT vec_id AS src, vec_id + 1000000 AS dst FROM embeddings
+        """,
+        # images_from_documents is pure SQL over `documents`; the gate's
+        # first-failure reason per row follows the documented keyword order
+        # (properties in schema order; within a property maxLength before
+        # minLength — validator._KEYWORD_ORDER), re-expressed as one CASE.
+        "images_gate_breakdown": """
+          WITH base AS (
+            SELECT printf('img%012d', doc_id) AS image_id,
+                   CAST(32 + doc_id % 33 AS INT) AS w,
+                   CAST(32 + (doc_id * 7) % 33 AS INT) AS h,
+                   (['png','jpeg','webp'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
+                   text AS caption
+            FROM documents),
+          imgs AS (
+            SELECT image_id, w, h, fmt, caption FROM base
+            UNION ALL
+            SELECT 'img9' || substr(image_id, 5, 11), w, h, fmt, caption
+            FROM base WHERE CAST(substr(image_id, 4) AS BIGINT) % 7 = 0
+            UNION ALL
+            SELECT 'img8' || substr(image_id, 5, 11), w, h, fmt,
+                   substr(caption, strpos(caption, ' ') + 1)
+            FROM base WHERE CAST(substr(image_id, 4) AS BIGINT) % 5 = 0
+            UNION ALL
+            SELECT 'img7' || substr(image_id, 5, 11), w, h, 'bmp', caption
+            FROM base WHERE CAST(substr(image_id, 4) AS BIGINT) % 11 = 0),
+          reasons AS (
+            SELECT CASE
+              WHEN NOT regexp_matches(image_id, '^img[0-9]{12}$') THEN 'pattern'
+              WHEN w > 65535 THEN 'maximum'
+              WHEN w < 1 THEN 'minimum'
+              WHEN h > 65535 THEN 'maximum'
+              WHEN h < 1 THEN 'minimum'
+              WHEN fmt NOT IN ('png','jpeg','webp') THEN 'enum'
+              WHEN length(caption) > 2048 THEN 'maxLength'
+              WHEN length(caption) < 3 THEN 'minLength'
+            END AS reason FROM imgs)
+          SELECT reason, count(*) AS n FROM reasons GROUP BY reason
         """,
     }
 

