@@ -279,7 +279,9 @@ def with_signatures(
             yield pd.Series(sigs)
 
     if repartition:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # partition count follows the configured shuffle partitions (a data-
+        # size property), not the executor count — see pipeline.py
+        df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     if not keep_shingles:
         return df.withColumn("minhash", sig_only_udf(F.col(text_col)))
     out = df.withColumn("__sig", sig_udf(F.col(text_col)))

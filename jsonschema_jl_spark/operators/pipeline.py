@@ -102,7 +102,8 @@ def dedup_pipeline(
     # Jaccard verification recomputes shingles from candidate texts) — no
     # persist: caching 1 KB/row of array data costs more than the kernel
     sigs = with_signatures(
-        slim, text_col="txt_norm", cfg=cfg, keep_shingles=False, assume_normalized=True
+        slim, text_col="txt_norm", cfg=cfg, keep_shingles=False,
+        assume_normalized=True, repartition=False,  # slim is already rebalanced
     )
 
     buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
