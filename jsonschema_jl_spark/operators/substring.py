@@ -20,28 +20,12 @@ Two implementations of "caption A is an exact substring of caption B":
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
 from jsonschema_jl_spark.operators.minhash import normalize_text, normalize_udf
-
-
-def _gram_hashes_udf(g: int):
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def grams(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from jsonschema_jl_spark.operators.minhash import shingle_set_np
-
-        for s in it:
-            yield s.map(
-                lambda t: shingle_set_np(t, g).view(np.int64) if t else np.empty(0, np.int64)
-            )
-
-    return grams
 
 
 def containment_pairs(
