@@ -201,6 +201,41 @@ def test_differential_vs_jsonschema_draft7():
     assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
 
 
+def test_differential_refs_vs_jsonschema():
+    """$ref parity: the engine INLINES refs at Schema-compile time
+    (schema.py resolve_refs, mirroring src/schema.jl:136-185); the library
+    resolves them at validation time.  Fuzz schemas whose leaves are $ref
+    pointers into definitions (including ref-through-ref chains) and
+    compare verdicts — this exercises build_id_map/find_ref/get_element on
+    randomized shapes, not just the hand-written fixtures."""
+    rng = random.Random(SEED + 2)
+    mismatches = []
+    for i in range(800):
+        defs = {
+            f"d{j}": rand_subschema(rng, depth=1) for j in range(rng.randint(1, 3))
+        }
+        names = list(defs)
+        # ref-through-ref: one definition may itself be a pointer to another
+        if len(names) > 1 and rng.random() < 0.3:
+            defs[names[0]] = {"$ref": f"#/definitions/{names[1]}"}
+        leaf = {"$ref": f"#/definitions/{rng.choice(names)}"}
+        roll = rng.random()
+        if roll < 0.35:
+            schema = {"definitions": defs, "properties": {rng.choice(KEYS): leaf}}
+        elif roll < 0.6:
+            schema = {"definitions": defs, "items": leaf}
+        elif roll < 0.8:
+            schema = {"definitions": defs, "allOf": [leaf]}
+        else:
+            schema = {"definitions": defs, **leaf}
+        for instance in (rand_value(rng), biased_instance(rng, defs[names[-1]])):
+            ours = engine_valid(schema, instance)
+            theirs = lib_valid(schema, instance)
+            if ours != theirs:
+                mismatches.append((i, schema, instance, ours, theirs))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
+
+
 def test_differential_draft4_boolean_exclusives():
     rng = random.Random(SEED + 1)
     mismatches = []
