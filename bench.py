@@ -234,6 +234,7 @@ def main() -> None:
         partitions = 6 * max(pair)
         taskset = shutil.which("taskset")
         thr = {}
+        reps_all = {}
         for cores in pair:
             cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker",
                    str(cores), shm_path, warm_path, str(partitions)]
@@ -245,14 +246,27 @@ def main() -> None:
             )
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             thr[cores] = scale_rows / rec["seconds"]
+            reps_all[cores] = rec.get("all", [])
         lo, hi = pair
+        eff = (thr[hi] / thr[lo]) / (hi / lo)
         scaling = {
             "rows": scale_rows,
             "cores": list(pair),
             f"thr_local{lo}": round(thr[lo], 1),
             f"thr_local{hi}": round(thr[hi], 1),
-            "efficiency": round((thr[hi] / thr[lo]) / (hi / lo), 3),
+            f"reps_local{lo}": reps_all.get(lo, []),
+            f"reps_local{hi}": reps_all.get(hi, []),
+            # efficiency > 1 is physically impossible for this workload —
+            # it means the small level's draw was inflated by host noise
+            # (co-tenant interference); cap and flag rather than report a
+            # super-linear fiction
+            "efficiency": round(min(eff, 1.0), 3),
         }
+        if eff > 1.05:
+            scaling["noise_note"] = (
+                f"raw ratio {round(eff, 3)} > 1: local[{lo}] draw inflated by host "
+                "noise; see BASELINE.md protocol"
+            )
 
     out = {
         "metric": "images_per_sec",
