@@ -475,6 +475,27 @@ def q_emb_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst")
 
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse-cell top-1 over the same augmented corpus as emb_ann_pairs:
+    # each planted near-copy's nearest neighbor is its base vector
+    # (cos ~0.9999 vs ~0.5 max between random vectors), and a near-identical
+    # pair quantizes to the same argmax cell, so IVF@nprobe=2 recovers the
+    # planted pair for EVERY query — an exact oracle for the approximate op.
+    from jsonschema_jl_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    near = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + (F.pmod(i, F.lit(7)) - F.lit(3.0)) * F.lit(1e-3)
+        ).alias("embedding"),
+    )
+    out = ivf_topk(emb.unionByName(near), k=1, n_cells=16, nprobe=2, queries=near)
+    return out.select("query_id", "neighbor_id")
+
+
 # ---------------------------------------------------------------------------
 # image pipeline (rows-only: datagen + private minhash permutations)
 # ---------------------------------------------------------------------------
@@ -561,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_sa": q_doc_containment_sa,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_ann_pairs": q_emb_ann_pairs,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "images_dedup_clusters": q_images_dedup_clusters,
         "images_gate_breakdown": q_images_gate_breakdown,
         "images_features": q_images_features,
@@ -869,6 +891,11 @@ def oracle_sql() -> dict[str, str]:
         # set — making the approximate operator exactly oracle-checkable.
         "emb_ann_pairs": """
           SELECT vec_id AS src, vec_id + 1000000 AS dst FROM embeddings
+        """,
+        # IVF top-1 on the augmented corpus recovers exactly the planted
+        # near-copy pairs (see q_emb_ivf_topk for why this is deterministic)
+        "emb_ivf_topk": """
+          SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id FROM embeddings
         """,
         # images_from_documents is pure SQL over `documents`; the gate's
         # first-failure reason per row follows the documented keyword order

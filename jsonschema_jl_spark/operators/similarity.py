@@ -3,19 +3,26 @@
   * cosine_topk       — exact brute-force top-k via a blocked cross join;
     the baseline and the oracle for the approximate path.  Native
     F.aggregate/F.zip_with dot products (JVM, no Python).
-  * lsh_ann_topk      — scale path: random-hyperplane (SimHash) bucketing;
-    only pairs sharing a hyperplane-sign bucket are scored.  At 10^12 rows
-    the cross join is infeasible; signs shrink candidates to
-    O(n * bucket_size) with tunable recall via (n_planes, n_tables).
+  * lsh_ann_pairs     — scale path for all-pairs mining: random-hyperplane
+    (SimHash) bucketing; only pairs sharing a hyperplane-sign bucket are
+    scored.  At 10^12 rows the cross join is infeasible; signs shrink
+    candidates to O(n * bucket_size) with tunable recall via
+    (n_planes, n_tables).
+  * ivf_topk          — scale path for query serving: spherical-k-means
+    coarse cells (IVF); each query scans nprobe cells, O(nprobe*n/cells)
+    per query, bucket-prunable by cell at scale.
   * exact_dedup       — hash-groupBy exact text dedup (documents table)
   * ngram_jaccard_pairs — n-gram token Jaccard near-dup candidates
 """
 
 from __future__ import annotations
 
-import numpy as np
+from typing import Iterator
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from jsonschema_jl_spark.operators.textops import normalized_text, fingerprint
 
@@ -117,6 +124,101 @@ def lsh_ann_pairs(
         )
         .filter(F.col("cos") >= min_cos)
         .dropDuplicates(["src", "dst"])
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int,
+    seed: int = 4242, sample_n: int = 4096, iters: int = 6,
+) -> np.ndarray:
+    """Spherical k-means centroids from a DETERMINISTIC sample (ordered by
+    xxhash64(id) — reproducible across partitionings, unlike df.sample).
+    Lloyd iterations run driver-side in numpy: the sample is O(sample_n *
+    dim) bytes regardless of corpus size, the one driver-side step of the
+    IVF build.  Returns a unit-normalized (n_cells, dim) float64 array."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h").limit(sample_n).collect()
+    )
+    X = np.asarray([r.v for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _cells_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-batched cell assignment: one (batch, dim) @ (dim, cells)
+    matmul per batch, top-nprobe cells by cosine (centroids are unit)."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        Ct = centroids.T
+        for vecs in it:
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            scores = X @ Ct
+            if nprobe == 1:
+                top = scores.argmax(axis=1)[:, None]
+            else:
+                part = np.argpartition(-scores, nprobe - 1, axis=1)[:, :nprobe]
+                order = np.take_along_axis(-scores, part, 1).argsort(axis=1)
+                top = np.take_along_axis(part, order, 1)
+            yield pd.Series([row.astype(np.int32) for row in top])
+
+    return cells
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 4242,
+    queries: DataFrame | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: the partition-pruned scale path for query
+    serving (lsh_ann_pairs covers all-pairs mining).
+
+    Corpus vectors land in their argmax-cosine coarse cell; each query
+    scans only its nprobe nearest cells, so per-query work is
+    O(nprobe * n/n_cells) instead of O(n) — with n_cells ~ sqrt(n) and the
+    cell a join key, the probe is an equi-join Catalyst shuffles on cell
+    id (at 10^12 rows: the corpus is written bucketed by cell, making the
+    probe a bucket-pruned scan, no shuffle of the corpus).  Scoring and
+    ranking stay native (JVM cosine + window top-k); Python is one
+    Arrow-batched matmul per batch for cell assignment."""
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, id_col, n_cells, seed)
+    assign = _cells_udf(centroids, 1)
+    probe = _cells_udf(centroids, nprobe)
+    corpus = df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = (queries if queries is not None else df).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q.join(corpus, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbor_id"),
+                "cos", "rank")
     )
 
 

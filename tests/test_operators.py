@@ -166,6 +166,29 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert len(planted & got) >= 9  # >= 90% recall on planted near-dups
 
 
+def test_ivf_topk_recall(spark):
+    from jsonschema_jl_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((120, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    # near-copies: their true top-1 is the base vector
+    for j in range(30):
+        v = base[j] + rng.standard_normal(16) * 0.005
+        rows.append((1000 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    near = df.filter(F.col("vec_id") >= 1000)
+    top1 = ivf_topk(df, k=1, n_cells=8, nprobe=2, queries=near)
+    hits = {r.query_id: r.neighbor_id for r in top1.collect()}
+    assert all(hits[1000 + j] == j for j in range(30)), hits
+    # exact-match sanity vs brute force on a random query slice
+    qs = df.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(df, k=3, queries=qs).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(df, k=3, n_cells=8, nprobe=5, queries=qs).collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
 # ---------------------------------------------------------------------------
 # LSH salting path + suffix-array cross-check
 # ---------------------------------------------------------------------------
