@@ -74,7 +74,9 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
 
     t0 = time.time()
     slim = gate_filter(images, IMAGES_GATE_SCHEMA).select("image_id", "caption", "phash")
-    sigs = with_signatures(slim, cfg=CFG)
+    # keep_shingles=False matches what the pipeline actually materializes
+    # (verification recomputes shingles for candidates only)
+    sigs = with_signatures(slim, cfg=CFG, keep_shingles=False)
     sigs.write.mode("overwrite").format("noop").save()
     timings["signatures"] = round(time.time() - t0, 2)
 

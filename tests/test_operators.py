@@ -211,3 +211,28 @@ def test_suffix_array_matches_anchor_join(spark):
     b = {(r.src, r.dst) for r in suffix_array_containment(slim, cfg=CFG).collect()}
     assert a == b
     assert len(a) > 0  # planted containment pairs exist
+
+
+def test_wav_roundtrip_and_audio_features(spark):
+    from jsonschema_jl_spark.operators.multimodal import (
+        wav_encode, wav_decode, with_audio_features,
+    )
+
+    rng = np.random.default_rng(13)
+    a = (rng.standard_normal(16000) * 3000).astype(np.int16)   # 1s mono
+    b = (rng.standard_normal((8000, 2)) * 2000).astype(np.int16).reshape(-1)  # stereo
+    wav_a = wav_encode(a, 16000, 1)
+    wav_b = wav_encode(b, 8000, 2)
+    s, sr, ch = wav_decode(wav_a)
+    assert sr == 16000 and ch == 1 and np.array_equal(s.ravel(), a)
+
+    df = spark.createDataFrame(
+        [("x", wav_a, "wav"), ("y", wav_b, "wav"), ("z", b"\x00garbage", "mp3")],
+        "id string, bytes binary, fmt string",
+    )
+    out = {r.id: r.audio_features for r in with_audio_features(df).collect()}
+    assert out["x"].decode_ok and out["x"].sample_rate == 16000
+    assert abs(out["x"].duration_s - 1.0) < 1e-9
+    assert abs(out["x"].rms - float(np.sqrt(np.mean(a.astype(np.float64) ** 2)))) < 1e-6
+    assert out["y"].channels == 2 and out["y"].n_samples == 8000
+    assert not out["z"].decode_ok and out["z"].sample_rate is None
