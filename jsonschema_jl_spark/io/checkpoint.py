@@ -149,3 +149,73 @@ def resumable_signatures(
         sigs = with_signatures(slim, cfg=cfg)
         ckpt.write_stage(sigs, stage, id_col="image_id", n_buckets=n_buckets)
     return ckpt.read_stage(spark, stage)
+
+
+def resumable_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    ckpt: CheckpointManager,
+    cfg: DedupConfig,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Full dedup pipeline with per-stage checkpoint/resume (P13): three
+    checkpointed stages — signatures (gate + normalize + MinHash), edges
+    (all three detectors + union-dedup), labels (connected components +
+    id mapping).  A killed run resumes at the first incomplete stage; a
+    completed stage is never recomputed (its parquet is the source of the
+    next stage), and within a stage only missing buckets are written.
+    Produces the same clustering as operators.pipeline.dedup_pipeline
+    under the same config (asserted by tests/test_checkpoint.py)."""
+    from jsonschema_jl_spark.gate.gate import gate_filter
+    from jsonschema_jl_spark.operators.minhash import normalize_udf, with_signatures
+    from jsonschema_jl_spark.operators.lsh import band_buckets, candidate_pairs
+    from jsonschema_jl_spark.operators.verify import verify_jaccard_text
+    from jsonschema_jl_spark.operators.phash import phash_pairs
+    from jsonschema_jl_spark.operators.substring import containment_pairs
+    from jsonschema_jl_spark.operators.components import connected_components
+    from jsonschema_jl_spark.operators.pipeline import IMAGES_GATE_SCHEMA
+
+    if not ckpt.stage_complete("signatures", n_buckets):
+        slim = gate_filter(images, IMAGES_GATE_SCHEMA).select(
+            F.xxhash64("image_id").alias("nid"),
+            "image_id",
+            normalize_udf(F.col("caption")).alias("txt_norm"),
+            "phash",
+        )
+        sigs = with_signatures(
+            slim, text_col="txt_norm", cfg=cfg, keep_shingles=False, assume_normalized=True
+        )
+        ckpt.write_stage(sigs, "signatures", id_col="image_id", n_buckets=n_buckets)
+    sigs = ckpt.read_stage(spark, "signatures")
+
+    if not ckpt.stage_complete("edges", n_buckets):
+        buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
+        cands = candidate_pairs(buckets, cfg)
+        cap = verify_jaccard_text(
+            cands, sigs, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
+        ).select("src", "dst")
+        ph = phash_pairs(sigs, id_col="nid", cfg=cfg).select("src", "dst")
+        cont = containment_pairs(
+            sigs, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
+        ).select("src", "dst")
+        edges = cap.unionByName(ph).unionByName(cont).dropDuplicates(["src", "dst"])
+        ckpt.write_stage(edges, "edges", id_col="src", n_buckets=n_buckets)
+    edges = ckpt.read_stage(spark, "edges")
+
+    if not ckpt.stage_complete("labels", n_buckets):
+        nid_labels = connected_components(
+            edges.select("src", "dst"),
+            vertices=sigs.select("nid"),
+            max_iters=cfg.cc_max_iters,
+        )
+        iddict = sigs.select("nid", "image_id")
+        comp_names = iddict.select(
+            F.col("nid").alias("component"), F.col("image_id").alias("component_id")
+        )
+        labels = (
+            nid_labels.join(iddict, nid_labels.id == iddict.nid)
+            .join(comp_names, "component")
+            .select("image_id", F.col("component_id").alias("component"))
+        )
+        ckpt.write_stage(labels, "labels", id_col="image_id", n_buckets=n_buckets)
+    return ckpt.read_stage(spark, "labels")

@@ -72,3 +72,35 @@ def test_bucketing_is_deterministic(spark, images, tmp_path):
     # no dup/dropped rows across buckets
     assert df.count() == N
     assert df.select("image_id").distinct().count() == N
+
+
+def test_resumable_pipeline_matches_direct_and_resumes(spark, tmp_path):
+    from collections import defaultdict
+
+    from jsonschema_jl_spark.io.checkpoint import resumable_pipeline
+    from jsonschema_jl_spark.operators.pipeline import dedup_pipeline
+
+    images = generate_images(spark, 600, CFG, with_bytes=False).persist()
+    ckpt = CheckpointManager(str(tmp_path / "rp"), CFG, input_desc="n600")
+    def partition(rows):
+        comp = defaultdict(set)
+        for r in rows:
+            comp[r.component].add(r.image_id)
+        return {frozenset(v) for v in comp.values()}
+
+    # materialize eagerly: the resume step below rewrites the stage files
+    p1 = partition(resumable_pipeline(spark, images, ckpt, CFG, n_buckets=4).collect())
+
+    direct = dedup_pipeline(images, CFG, collect_metrics=False)
+    assert p1 == partition(direct.labels.collect())
+    direct.cleanup()
+
+    # resume: wipe the labels stage only; signatures/edges must be reused
+    import shutil as sh
+
+    sh.rmtree(str(tmp_path / "rp" / CFG.config_hash() / "labels"))
+    sig_manifest_before = ckpt.read_manifest("signatures")
+    labels2 = resumable_pipeline(spark, images, ckpt, CFG, n_buckets=4)
+    assert partition(labels2.collect()) == p1
+    assert ckpt.read_manifest("signatures") == sig_manifest_before  # untouched
+    images.unpersist()
