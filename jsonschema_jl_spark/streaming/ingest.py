@@ -1,0 +1,92 @@
+"""Structured Streaming ingest: validation-gated micro-batch intake.
+
+The reference library is purely batch (no streaming anywhere in src/ —
+SURVEY §2.9), and the north rule's pipeline is batch with checkpoint/resume,
+NOT Structured Streaming.  This module exists for the ENGINE's own intake
+path: a production deployment tails an arrival directory (or Kafka topic)
+of image+caption records, applies the SAME compiled gate per micro-batch,
+and appends valid rows to the corpus table that the batch dedup pipeline
+consumes on its next run.
+
+Design points:
+  * the gate closure is compiled ONCE on the driver and reused across
+    micro-batches — identical semantics to the batch path by construction
+    (same apply_gate call);
+  * `foreachBatch` gives exactly-once appends to the corpus sink via the
+    streaming checkpoint (offsets + sink commit log); the dedup pipeline
+    stays batch, triggered per corpus snapshot — streaming dedup state at
+    10^12 rows would pin signatures in executor state stores, which the
+    north rule's per-partition batch checkpoints handle better;
+  * Trigger.AvailableNow drains the backlog and stops — the cron-style
+    intake used in tests and small deployments; switch to a processing-time
+    trigger for continuous tailing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from jsonschema_jl_spark.gate.gate import apply_gate
+
+
+def gated_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema_ddl: str,
+    gate_schema: dict,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """readStream over an arrival directory with the validation gate
+    applied per micro-batch.  Returns the streaming DataFrame with
+    `issue`/`isvalid` columns (same contract as batch apply_gate)."""
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(schema_ddl)
+        .option("maxFilesPerTrigger", 64)
+        .load(source_dir)
+    )
+    return apply_gate(stream, gate_schema)
+
+
+def run_gated_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema_ddl: str,
+    gate_schema: dict,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    rejects_dir: str | None = None,
+    fmt: str = "parquet",
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+):
+    """Drain the arrival directory once (Trigger.AvailableNow): valid rows
+    append to the corpus table, rejects (with their issue struct) to the
+    quarantine table.  Returns the terminated StreamingQuery.
+
+    foreachBatch + the streaming checkpoint give exactly-once appends; the
+    batch dedup pipeline picks up the grown corpus on its next run."""
+    gated = gated_stream(spark, source_dir, schema_ddl, gate_schema, fmt=fmt)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        batch_df.filter(F.col("isvalid")).drop("issue", "isvalid").write.mode(
+            "append"
+        ).parquet(corpus_dir)
+        if rejects_dir is not None:
+            batch_df.filter(~F.col("isvalid")).select(
+                "*", F.lit(batch_id).alias("batch_id")
+            ).drop("isvalid").write.mode("append").parquet(rejects_dir)
+        if on_batch is not None:
+            on_batch(batch_df, batch_id)
+        batch_df.unpersist()
+
+    q = (
+        gated.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
