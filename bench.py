@@ -80,6 +80,26 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
     sigs.write.mode("overwrite").format("noop").save()
     timings["signatures"] = round(time.time() - t0, 2)
 
+    # dynamic-mode gate (Arrow dict-tree UDF over a JSON column) — the
+    # residual path's throughput, vs the native-Column path above
+    events_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), "events.parquet"
+    )
+    if os.path.exists(events_path):
+        from jsonschema_jl_spark.gate.gate import apply_gate
+
+        ev = spark.read.parquet(events_path)
+        dyn_schema = {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 90}},
+        }
+        apply_gate(ev, dyn_schema, json_col="props").filter("isvalid").count()  # warm
+        t0 = time.time()
+        n_dyn = apply_gate(ev, dyn_schema, json_col="props").filter("isvalid").count()
+        timings["gate_dynamic"] = round(time.time() - t0, 2)
+        timings["gate_dynamic_rows"] = ev.count()
+
     runs = []
     for _ in range(2):
         t0 = time.time()
