@@ -117,6 +117,29 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
+_BW_BUF = None
+
+
+def _mem_bandwidth_gbs() -> float:
+    """Single-thread memcpy bandwidth probe (max of 3x256MB copies).
+    Co-tenant interference on this shared host shows up as bandwidth loss
+    (~2.8 GB/s clean) even when CPU-steal accounting reads ~0 — the probe
+    catches what /proc/stat cannot."""
+    global _BW_BUF
+    import numpy as np
+
+    if _BW_BUF is None:
+        _BW_BUF = np.empty(256 * 1024 * 1024, dtype=np.uint8)
+        _BW_BUF[::4096] = 1
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        b = _BW_BUF.copy()
+        best = max(best, 0.25 / (time.time() - t0))
+        del b
+    return best
+
+
 def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None:
     """Child-process entry: pipeline timing at local[cores] on `path`.
 
@@ -165,10 +188,11 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
     # rep that ran under >4% machine-wide steal is discarded and retried
     # (bounded), so the reported min reflects the hardware, not the
     # neighbors.  HZ=100 (USER_HZ) jiffies, 32 host CPUs.
-    times, steals = [], []
+    times, steals, bands = [], [], []
     attempts = 0
     while len(times) < reps and attempts < reps + 3:
         attempts += 1
+        bw = _mem_bandwidth_gbs()
         s0, t0 = _steal_jiffies(), time.time()
         res = dedup_pipeline(df, CFG, collect_metrics=False)
         res.labels.count()
@@ -176,12 +200,14 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
         steal_frac = (_steal_jiffies() - s0) / 100.0 / (dt * 32)
         res.cleanup()
         steals.append(round(steal_frac, 3))
-        if steal_frac <= 0.04 or attempts >= reps + 3:
+        bands.append(round(bw, 2))
+        clean = steal_frac <= 0.04 and bw >= 2.0
+        if clean or attempts >= reps + 3:
             times.append(dt)
     stop_spark(spark)
     print(json.dumps({
         "seconds": min(times), "all": [round(t, 1) for t in times],
-        "steal_frac": steals, "rows": n,
+        "steal_frac": steals, "mem_gbs": bands, "rows": n,
     }))
 
 
@@ -268,7 +294,9 @@ def main() -> None:
             )
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             thr[cores] = scale_rows / rec["seconds"]
-            reps_all[cores] = rec.get("all", [])
+            reps_all[cores] = {"seconds": rec.get("all", []),
+                               "mem_gbs": rec.get("mem_gbs", []),
+                               "steal": rec.get("steal_frac", [])}
         lo, hi = pair
         eff = (thr[hi] / thr[lo]) / (hi / lo)
         scaling = {
