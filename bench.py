@@ -10,8 +10,10 @@ Prints ONE JSON line:
    "sf": ..., "scaling": {"t8": ..., "t32": ..., "efficiency": ...}}
 
 Scaling evidence (BASELINE.md): no real cluster in the sandbox, so the same
-job runs at local[8] and local[32] on the same cached input; efficiency =
-(thr_32 / thr_8) / 4.  Disable with SPARK_GRAFT_BENCH_SCALING=0.
+job runs at two taskset-pinned parallelism levels (default local[2] ->
+local[8]) on the same tmpfs input with identical partitioning; efficiency =
+(thr_4N / thr_N) / 4, reps gated on CPU-steal and a memory-bandwidth probe.
+Disable with SPARK_GRAFT_BENCH_SCALING=0.
 """
 
 from __future__ import annotations
