@@ -543,10 +543,20 @@ def q_images_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: signature values depend on engine-private permutations
+    # rows-only: signature values depend on engine-private permutations.
+    # The raw array<long> column is reduced to a scalar xxhash64 digest so the
+    # driver's canonicalization (pandas sort/factorize) can handle the rows —
+    # the digest changes iff any signature slot changes, so it is exactly as
+    # strong a regression check as the array itself.
     d = _docs(spark, sf_dir).select("doc_id", "text")
     sigs = with_signatures(d, text_col="text", cfg=CFG)
-    return sigs.select("doc_id", F.size("minhash").alias("sig_len"), "minhash")
+    return sigs.select(
+        "doc_id",
+        F.size("minhash").alias("sig_len"),
+        F.xxhash64(
+            F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
+        ).alias("sig_digest"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

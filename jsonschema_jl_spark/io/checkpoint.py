@@ -74,12 +74,21 @@ class CheckpointManager:
         id_col: str,
         n_buckets: int = 8,
         resume: bool = True,
+        materialize: bool = True,
     ) -> str:
         """Write `df` bucketed by hash(id) under the stage dir, skipping
         buckets already recorded as done.  One Spark job per missing bucket
-        (the resumability unit); each job's filter on the bucket expression
-        prunes at the source when the upstream is itself bucket-partitioned."""
+        (the resumability unit).  The bucket filter is an expression over
+        hash(id) and can NOT push below upstream aggregations/UDF stages, so
+        by default the input is materialized once (localCheckpoint) before
+        the per-bucket loop — otherwise the whole upstream plan (e.g. the
+        full detector cascade feeding `edges`) re-executes n_buckets times
+        (measured 2.7x in dedup_pipeline before the same fix).  Pass
+        materialize=False only when the upstream is itself bucket-partitioned
+        storage, where the filter prunes at the source."""
         path = os.path.join(self.base, stage)
+        if materialize:
+            df = df.localCheckpoint(eager=True)
         manifest = self.read_manifest(stage) if resume else {"stage": stage, "buckets": {}}
         manifest.setdefault("buckets", {})
         manifest["config_hash"] = self.cfg.config_hash()

@@ -131,7 +131,7 @@ def with_image_features(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = 
                     rows["mean_g"].append(float(px[..., 1].mean()))
                     rows["mean_b"].append(float(px[..., 2].mean()))
                     rows["decode_ok"].append(True)
-                except (NotImplementedError, ValueError, Exception):
+                except (NotImplementedError, ValueError, struct.error, zlib.error):
                     for k in ("decoded_w", "decoded_h"):
                         rows[k].append(None)
                     for k in ("mean_r", "mean_g", "mean_b"):
@@ -185,7 +185,7 @@ def with_resized(
                     out["w"].append(out_w)
                     out["h"].append(out_h)
                     out["resize_ok"].append(True)
-                except Exception:
+                except (NotImplementedError, ValueError, struct.error, zlib.error):
                     out["bytes"].append(raw)
                     out["w"].append(None)
                     out["h"].append(None)
@@ -317,7 +317,7 @@ def with_audio_features(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = 
                     rows["rms"].append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
                     rows["peak"].append(int(np.abs(samples).max()) if samples.size else 0)
                     rows["decode_ok"].append(True)
-                except (NotImplementedError, ValueError, Exception):
+                except (NotImplementedError, ValueError, struct.error, zlib.error):
                     for k in ("sample_rate", "channels", "n_samples", "duration_s",
                               "rms", "peak"):
                         rows[k].append(None)

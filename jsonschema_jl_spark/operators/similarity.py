@@ -137,9 +137,17 @@ def ivf_centroids(
     dim) bytes regardless of corpus size, the one driver-side step of the
     IVF build.  Returns a unit-normalized (n_cells, dim) float64 array."""
     rows = (
-        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+        )
         .orderBy("h").limit(sample_n).collect()
     )
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"ivf_centroids: sample has {len(rows)} rows < n_cells={n_cells}; "
+            "reduce n_cells or provide more data"
+        )
     X = np.asarray([r.v for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = X[:n_cells].copy()

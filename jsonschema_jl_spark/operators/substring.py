@@ -20,6 +20,7 @@ Two implementations of "caption A is an exact substring of caption B":
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -111,61 +112,92 @@ def suffix_array_containment(
     text_col: str = "caption",
     cfg: DedupConfig = DEFAULT_CONFIG,
     num_ranges: int = 8,
+    max_contained_len: int | None = None,
 ) -> DataFrame:
     """Reference-style distributed suffix-array pass.
 
-    Suffix keys (first anchor_gram chars of every suffix) are range-
-    partitioned by sampled splitters; each partition builds a sorted suffix
-    table in pandas and walks it for prefix containment.  Containment pairs
-    whose anchor falls in the partition's key range are emitted, so every
-    true pair is found exactly once (its anchor lives in one range).
-    Quadratic only within groups of identical anchors — bounded like LSH
-    buckets.  Kept as a small-scale cross-check for `containment_pairs`."""
+    Suffix keys are range-partitioned on their leading anchor_gram chars;
+    each partition lexsorts its suffixes into a suffix array and resolves
+    every probe with two `np.searchsorted` calls — a suffix starts with
+    probe P iff it sorts inside [P, P + U+10FFFF), so the prefix walk is the
+    classic suffix-array range lookup, not a scan.  Containment pairs whose
+    anchor falls in the partition's key range are emitted exactly once (an
+    anchor lives in one range).
+
+    Scale bounds: suffixes are truncated to `max_contained_len` chars at the
+    explode (prefix containment never inspects more of a suffix than the
+    longest probe), so exploded byte volume is O(total_chars * C) instead of
+    the O(total_chars^2) of full suffixes, and suffix rows carry the
+    container's LENGTH, not its text; suffixes shorter than
+    cfg.min_contained_len cannot contain any probe and are dropped.  With
+    max_contained_len=None the cap is computed from the data (one scalar
+    agg); an explicit cap restricts the contained side to captions of at
+    most that length (choose >= data max for exact parity with
+    `containment_pairs`)."""
     g = cfg.anchor_gram
     base = df.select(
         F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("txt")
     ).filter(F.length("txt") >= cfg.min_contained_len)
 
-    suffixes = base.select(
-        "id",
-        F.col("txt"),
-        F.explode(
-            F.expr("transform(sequence(1, length(txt)), i -> substr(txt, i))")
-        ).alias("suffix"),
-    ).withColumn("anchor", F.substring("suffix", 1, g))
-    probes = base.select(
-        F.col("id").alias("pid"), F.col("txt").alias("ptxt")
-    ).withColumn("anchor", F.substring("ptxt", 1, g))
+    if max_contained_len is None:
+        max_contained_len = int(
+            base.agg(F.max(F.length("txt"))).collect()[0][0] or cfg.min_contained_len
+        )
+    cap = max_contained_len
+
+    suffixes = (
+        base.select(
+            "id",
+            F.length("txt").cast("long").alias("txt_len"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(txt)), i -> substr(txt, i, {cap}))"
+                )
+            ).alias("suffix"),
+        )
+        .filter(F.length("suffix") >= cfg.min_contained_len)
+        .withColumn("anchor", F.substring("suffix", 1, g))
+    )
+    probes = (
+        base.filter(F.length("txt") <= cap)
+        .select("id", F.col("txt").alias("ptxt"))
+        .withColumn("anchor", F.substring("ptxt", 1, g))
+    )
 
     tagged = suffixes.select(
-        "anchor", F.col("id"), F.col("txt"), F.col("suffix"), F.lit(None).cast("string").alias("ptxt")
+        "anchor", "id", "txt_len", "suffix", F.lit(None).cast("string").alias("ptxt")
     ).unionByName(
         probes.select(
-            "anchor", F.col("pid").alias("id"), F.lit(None).cast("string").alias("txt"),
+            "anchor", "id", F.lit(None).cast("long").alias("txt_len"),
             F.lit(None).cast("string").alias("suffix"), "ptxt",
         )
     )
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        srcs, dsts = [], []
         suf = pdf[pdf["suffix"].notna()]
         prb = pdf[pdf["ptxt"].notna()]
-        if len(suf) and len(prb):
-            by_anchor = {a: grp for a, grp in suf.groupby("anchor")}
-            for _, p in prb.iterrows():
-                grp = by_anchor.get(p["anchor"])
-                if grp is None:
-                    continue
-                for _, srow in grp.iterrows():
-                    if srow["id"] == p["pid2"]:
-                        continue
-                    if len(p["ptxt"]) < len(srow["txt"]) and srow["suffix"].startswith(p["ptxt"]):
-                        srcs.append(p["pid2"])
-                        dsts.append(srow["id"])
+        if not len(suf) or not len(prb):
+            return pd.DataFrame({"src": [], "dst": []}, dtype=object)
+        sarr = suf["suffix"].to_numpy()
+        order = np.argsort(sarr)
+        sarr = sarr[order]
+        sids = suf["id"].to_numpy()[order]
+        slens = suf["txt_len"].to_numpy()[order]
+        srcs: list = []
+        dsts: list = []
+        for pid, ptxt in zip(prb["id"].to_numpy(), prb["ptxt"].to_numpy()):
+            lo = np.searchsorted(sarr, ptxt, side="left")
+            hi = np.searchsorted(sarr, ptxt + chr(0x10FFFF), side="left")
+            if hi <= lo:
+                continue
+            cand_ids = sids[lo:hi]
+            keep = (cand_ids != pid) & (len(ptxt) < slens[lo:hi])
+            for d in np.unique(cand_ids[keep]):
+                srcs.append(pid)
+                dsts.append(d)
         # ids may be string (images) or int64 (documents) — schema says string
         return pd.DataFrame({"src": srcs, "dst": dsts}, dtype=object).astype(str)
 
-    tagged = tagged.withColumn("pid2", F.col("id"))
     out = (
         tagged.repartitionByRange(num_ranges, "anchor")
         .groupBy(F.spark_partition_id().alias("part"))

@@ -93,6 +93,9 @@ def _make_text_jaccard_udf(cfg: DedupConfig, normalized: bool = False):
     def text_jaccard(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         for a_col, b_col in it:
             n = len(a_col)
+            if n == 0:  # _shingle_flat_batch assumes >=1 row (cum[-1])
+                yield pd.Series([], dtype="float64")
+                continue
             # one flat shingle pass per side over the WHOLE batch (same
             # kernel as minhash_batch; bit-identical hashes), then the
             # shared sort-based per-pair intersection

@@ -12,11 +12,15 @@ Design points:
   * the gate closure is compiled ONCE on the driver and reused across
     micro-batches — identical semantics to the batch path by construction
     (same apply_gate call);
-  * `foreachBatch` gives exactly-once appends to the corpus sink via the
-    streaming checkpoint (offsets + sink commit log); the dedup pipeline
-    stays batch, triggered per corpus snapshot — streaming dedup state at
-    10^12 rows would pin signatures in executor state stores, which the
-    north rule's per-partition batch checkpoints handle better;
+  * `foreachBatch` is an at-least-once contract (a crash between the sink
+    write and the streaming-checkpoint commit replays the batch), so each
+    batch writes to its own `batch_id=N` partition directory with overwrite
+    mode — a replayed batch rewrites the same directory instead of
+    appending, making the sink idempotent and the pipeline effectively
+    exactly-once; the dedup pipeline stays batch, triggered per corpus
+    snapshot — streaming dedup state at 10^12 rows would pin signatures in
+    executor state stores, which the north rule's per-partition batch
+    checkpoints handle better;
   * Trigger.AvailableNow drains the backlog and stops — the cron-style
     intake used in tests and small deployments; switch to a processing-time
     trigger for continuous tailing.
@@ -65,19 +69,22 @@ def run_gated_ingest(
     append to the corpus table, rejects (with their issue struct) to the
     quarantine table.  Returns the terminated StreamingQuery.
 
-    foreachBatch + the streaming checkpoint give exactly-once appends; the
-    batch dedup pipeline picks up the grown corpus on its next run."""
+    foreachBatch replays a batch if the run dies between the sink write and
+    the checkpoint commit (at-least-once); writes are made idempotent by
+    keying each batch to its own `batch_id=N` partition directory with
+    overwrite mode, so a replay rewrites rather than duplicates — the
+    corpus the batch dedup pipeline reads is effectively exactly-once."""
     gated = gated_stream(spark, source_dir, schema_ddl, gate_schema, fmt=fmt)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         batch_df.filter(F.col("isvalid")).drop("issue", "isvalid").write.mode(
-            "append"
-        ).parquet(corpus_dir)
+            "overwrite"
+        ).parquet(f"{corpus_dir}/batch_id={batch_id}")
         if rejects_dir is not None:
-            batch_df.filter(~F.col("isvalid")).select(
-                "*", F.lit(batch_id).alias("batch_id")
-            ).drop("isvalid").write.mode("append").parquet(rejects_dir)
+            batch_df.filter(~F.col("isvalid")).drop("isvalid").write.mode(
+                "overwrite"
+            ).parquet(f"{rejects_dir}/batch_id={batch_id}")
         if on_batch is not None:
             on_batch(batch_df, batch_id)
         batch_df.unpersist()
