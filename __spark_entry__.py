@@ -5,11 +5,13 @@ entry()    — flagship: gate -> MinHash/LSH -> verify -> phash -> containment
              sf0.001 documents parquet (input_hint shape) with planted dups.
 queries()  — one entry per implemented operator (SURVEY.md §2 / §2.11).
 oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
-Non-SQL-expressible kernels (MinHash signatures over our private hash
-permutations, the full approximate image pipeline, PNG decode) are
-rows-only entries; everything else — including the LSH-ANN operator via
-a planted-pair construction and the typed gate breakdown via a CASE
-mirror of keyword order — is value-checked against DuckDB.
+The ONLY rows-only entry is doc_minhash_signatures (signature values depend
+on engine-private hash permutations; the row is a stable xxhash64 digest).
+Everything else is value-checked against DuckDB — including the full image
+dedup clustering (exact all-pairs detector mirror + recursive-CTE connected
+components), the PNG decode stats (payloads are deterministic functions of
+doc_id), the LSH-ANN operator via a planted-pair construction, and the
+typed gate breakdown via a CASE mirror of keyword order.
 """
 
 from __future__ import annotations
@@ -641,6 +643,76 @@ _NGRAM_GRAMS = f"""
 """
 
 
+# Full DuckDB mirror of the flagship dedup clustering over the derived
+# images corpus (valid rows only — img7/bmp rows fail the gate enum):
+# ALL detector edges computed exactly (all-pairs 5-char-shingle Jaccard >=
+# tau, all-pairs phash Hamming <= 2, strict-substring containment with the
+# engine's min_contained_len=16), recursive-CTE connected components, then
+# the cluster-size histogram.  The engine's LSH banding (b=32, r=4),
+# bucket caps, and pigeonhole blocks are all recall-lossless on this corpus
+# — verified pair-for-pair at sf0.001 and sf0.01 (tools/cluster_oracle_dev.py:
+# 245/245 and 238/238 identical edges), so the exact mirror IS the engine's
+# expected output, accidental cross-document near-dups included.
+_IMAGES_CLUSTERS_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, printf('img%012d', doc_id) AS image_id, text AS caption
+  FROM documents),
+imgs AS (
+  SELECT image_id AS id, caption FROM base
+  UNION ALL
+  SELECT 'img9' || substr(image_id, 5, 11), caption FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'img8' || substr(image_id, 5, 11),
+         substr(caption, strpos(caption, ' ') + 1)
+  FROM base WHERE doc_id % 5 = 0),
+norm AS (SELECT id, regexp_replace(trim(lower(caption)), '\\s+', ' ', 'g') AS txt FROM imgs),
+sh AS (
+  SELECT id, unnest(list_distinct(
+           CASE WHEN length(txt) <= 5 THEN [txt]
+                ELSE [substr(txt, i, 5) for i in range(1, length(txt) - 3)] END)) AS g
+  FROM norm),
+shsizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS u, b.id AS v, count(*) AS i
+  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY 1, 2),
+jac AS (
+  SELECT u, v FROM inter
+  JOIN shsizes sa ON sa.id = u JOIN shsizes sb ON sb.id = v
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7),
+ph AS (
+  SELECT id, ph FROM (
+    SELECT printf('img%012d', doc_id) AS id,
+           ('0x' || substr(md5(text), 1, 15))::BIGINT AS ph FROM documents
+    UNION ALL
+    SELECT 'img9' || printf('%011d', doc_id % 100000000000),
+           ('0x' || substr(md5(text), 1, 15))::BIGINT FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT 'img8' || printf('%011d', doc_id % 100000000000),
+           ('0x' || substr(md5(text), 1, 15))::BIGINT + 1 FROM documents WHERE doc_id % 5 = 0)),
+php AS (
+  SELECT a.id AS u, b.id AS v FROM ph a JOIN ph b
+    ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 2),
+normf AS (SELECT id, txt FROM norm WHERE length(txt) >= 16),
+cont AS (
+  SELECT least(a.id, b.id) AS u, greatest(a.id, b.id) AS v
+  FROM normf a JOIN normf b
+    ON a.id != b.id AND length(a.txt) < length(b.txt)
+  WHERE strpos(b.txt, a.txt) > 0),
+e AS (SELECT u, v FROM jac UNION SELECT u, v FROM php UNION SELECT u, v FROM cont),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v != r.u),
+comp AS (
+  SELECT n.id, least(n.id, coalesce(min(r.v), n.id)) AS component
+  FROM (SELECT id FROM imgs) n LEFT JOIN reach r ON r.u = n.id
+  GROUP BY n.id),
+csize AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+SELECT n_members, count(*) AS n_clusters FROM csize GROUP BY 1 ORDER BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "gate_events_dynamic": """
@@ -943,6 +1015,29 @@ def oracle_sql() -> dict[str, str]:
               WHEN length(caption) < 3 THEN 'minLength'
             END AS reason FROM imgs)
           SELECT reason, count(*) AS n FROM reasons GROUP BY reason
+        """,
+        "images_dedup_clusters": _IMAGES_CLUSTERS_SQL,
+        # images_from_documents payloads: real PNG iff the BASE doc has
+        # fmt=png (doc_id % 3 == 0); dup/malformed rows copy base bytes, so
+        # decode_ok is a pure function of the base doc_id, and decoded dims
+        # equal the stated w/h (the PNG is encoded at exactly that size).
+        "images_features": """
+          WITH base AS (
+            SELECT doc_id,
+                   CAST(32 + doc_id % 33 AS INT) AS w,
+                   CAST(32 + (doc_id * 7) % 33 AS INT) AS h,
+                   (['png','jpeg','webp'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
+                   doc_id % 3 = 0 AS ok
+            FROM documents),
+          imgs AS (
+            SELECT w, h, fmt, ok FROM base
+            UNION ALL SELECT w, h, fmt, ok FROM base WHERE doc_id % 7 = 0
+            UNION ALL SELECT w, h, fmt, ok FROM base WHERE doc_id % 5 = 0
+            UNION ALL SELECT w, h, 'bmp', ok FROM base WHERE doc_id % 11 = 0)
+          SELECT fmt, ok AS decode_ok, count(*) AS n,
+                 CASE WHEN ok THEN round(avg(w), 2) END AS avg_w,
+                 CASE WHEN ok THEN round(avg(h), 2) END AS avg_h
+          FROM imgs GROUP BY fmt, ok ORDER BY fmt, ok
         """,
     }
 

@@ -1,18 +1,58 @@
 """Derive an `images` table (input_hint shape) from the driver's documents
 parquet: captions are real testdata text, with deterministically planted
 duplicate rows and malformed gate rows appended — the flagship entry input.
+
+The binary `bytes` column carries REAL payloads: rows whose base doc has
+fmt=png (doc_id % 3 == 0) get an actual PNG (deterministic gradient pixels
+of exactly the stated w x h, encoded by the same pure-stdlib codec the P14
+decode path reads back), so `entry()` and `images_features` exercise the
+decode kernel end-to-end.  jpeg/webp rows get a deterministic non-PNG stub
+(those codecs are honestly stubbed — operators/multimodal.py), and dup/
+malformed derivations copy their base row's bytes, so decode success is a
+pure function of the BASE doc_id — mirrored exactly by the DuckDB oracle in
+__spark_entry__.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from jsonschema_jl_spark.operators.multimodal import png_encode
+
+
+@F.pandas_udf(T.BinaryType())
+def _payload_udf(seed: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    """Deterministic per-row payload: real PNG when seed % 3 == 0 (the png
+    fmt lane), else a small non-PNG stub.  Pixels are a gradient keyed by
+    the seed so every image is distinct and exactly (h, w, 3)."""
+    out = []
+    for s, ww, hh in zip(seed, w, h):
+        s, ww, hh = int(s), int(ww), int(hh)
+        if s % 3 == 0:
+            gx = np.arange(ww, dtype=np.int64)[None, :]
+            gy = np.arange(hh, dtype=np.int64)[:, None]
+            px = np.empty((hh, ww, 3), dtype=np.uint8)
+            px[..., 0] = (gx + s) % 256
+            px[..., 1] = gy % 256
+            px[..., 2] = (gx + gy) % 256
+            out.append(png_encode(px))
+        else:
+            out.append(b"stub:" + str(s).encode())
+    return pd.Series(out)
 
 
 def images_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.select(
         F.format_string("img%012d", F.col("doc_id")).alias("image_id"),
-        F.lit(b"").cast("binary").alias("bytes"),
+        _payload_udf(
+            F.col("doc_id"),
+            (F.lit(32) + F.pmod(F.col("doc_id"), F.lit(33))).cast("int"),
+            (F.lit(32) + F.pmod(F.col("doc_id") * 7, F.lit(33))).cast("int"),
+        ).alias("bytes"),
         (F.lit(32) + F.pmod(F.col("doc_id"), F.lit(33))).cast("int").alias("w"),
         (F.lit(32) + F.pmod(F.col("doc_id") * 7, F.lit(33))).cast("int").alias("h"),
         F.element_at(
