@@ -185,14 +185,31 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
 
     df = spark.read.parquet(path)
     n = df.count()
+    # full-size warmup (untimed): the FIRST full-scale run in a fresh JVM
+    # pays one-off costs the small-input warmup does not reach — heap
+    # shaping at the real working-set size, JIT of large-loop paths, Arrow
+    # buffer growth in the Python workers.  The round-1 driver record showed
+    # exactly this signature: first rep 478s vs second 319s at local[2] with
+    # ~0 recorded steal and a clean bandwidth probe, sinking the published
+    # efficiency to 0.668.  Discarding rep one is the fix the probes cannot
+    # provide.
+    t0 = time.time()
+    res = dedup_pipeline(df, CFG, collect_metrics=False)
+    res.labels.count()
+    res.cleanup()
+    warm_full = round(time.time() - t0, 1)
     # steal-aware repetition: this sandbox is a VM on a shared host; CPU-
     # steal storms lasting minutes inflate whole reps (never deflate).  A
-    # rep that ran under >4% machine-wide steal is discarded and retried
-    # (bounded), so the reported min reflects the hardware, not the
-    # neighbors.  HZ=100 (USER_HZ) jiffies, 32 host CPUs.
+    # rep that ran under >4% machine-wide steal or a degraded memory-
+    # bandwidth probe is discarded and retried (bounded).  On top of that, a
+    # REP-SPREAD gate catches what the probes cannot see (co-tenant
+    # bandwidth contention with ~0 steal): while the clean reps still spread
+    # more than 1.25x max/min, keep adding reps (bounded) — the min of a
+    # wider draw converges on the hardware number.  HZ=100 (USER_HZ)
+    # jiffies, 32 host CPUs.
     times, steals, bands = [], [], []
-    attempts = 0
-    while len(times) < reps and attempts < reps + 3:
+    attempts, max_attempts = 0, reps + 4
+    while attempts < max_attempts:
         attempts += 1
         bw = _mem_bandwidth_gbs()
         s0, t0 = _steal_jiffies(), time.time()
@@ -203,12 +220,16 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
         res.cleanup()
         steals.append(round(steal_frac, 3))
         bands.append(round(bw, 2))
-        clean = steal_frac <= 0.04 and bw >= 2.0
-        if clean or attempts >= reps + 3:
+        if steal_frac <= 0.04 and bw >= 2.0:
             times.append(dt)
+        if len(times) >= reps and max(times) / min(times) <= 1.25:
+            break
+    if not times:  # every attempt ran dirty: report the min anyway, flagged
+        times = [dt]
     stop_spark(spark)
     print(json.dumps({
         "seconds": min(times), "all": [round(t, 1) for t in times],
+        "warm_full": warm_full,
         "steal_frac": steals, "mem_gbs": bands, "rows": n,
     }))
 
@@ -297,6 +318,7 @@ def main() -> None:
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             thr[cores] = scale_rows / rec["seconds"]
             reps_all[cores] = {"seconds": rec.get("all", []),
+                               "warm_full": rec.get("warm_full"),
                                "mem_gbs": rec.get("mem_gbs", []),
                                "steal": rec.get("steal_frac", [])}
         lo, hi = pair

@@ -113,12 +113,35 @@ def build_id_map(schema: dict) -> dict[str, Any]:
     return id_map
 
 
+def get_remote_schema(url: str) -> "Schema":
+    """Fetch + compile a remote schema at Schema-build time (reference
+    src/schema.jl:79-92).  This runs ONLY on the driver, once per distinct
+    URI per Schema build (results are cached in the id_map, mirroring the
+    reference's `id_map[string(uri2)] = ...` insert) — executors never see a
+    $ref, they receive the fully inlined tree."""
+    from urllib.request import urlopen
+
+    try:
+        with urlopen(url, timeout=30) as resp:
+            status = getattr(resp, "status", 200)
+            if status != 200:
+                raise SchemaError(
+                    f"Unable to get remote schema at {url}: HTTP status code {status}"
+                )
+            body = resp.read().decode("utf-8")
+    except SchemaError:
+        raise
+    except OSError as exc:  # URLError/HTTPError/socket errors
+        raise SchemaError(f"Unable to get remote schema at {url}: {exc}") from exc
+    return Schema(json.loads(body))
+
+
 def find_ref(uri: str, id_map: dict[str, Any], path: str, parent_dir: str) -> Any:
     """Resolve one $ref string (reference src/schema.jl:94-132).
 
-    Order: exact id_map hit; root '#'/''; JSON-Pointer '#/...'; local file.
-    Remote HTTP refs are rejected (no network at compile time in this engine;
-    the reference fetches them driver-side, src/schema.jl:79-92)."""
+    Order: exact id_map hit; root '#'/''; JSON-Pointer '#/...'; remote
+    http(s) fetch (driver-side, compile-time, cached in id_map); local
+    file."""
     if path in id_map:
         return id_map[path]
     if path in ("", "#"):
@@ -133,10 +156,10 @@ def find_ref(uri: str, id_map: dict[str, Any], path: str, parent_dir: str) -> An
         return get_element(target, frag.lstrip("/")) if frag else target
     parsed = urlparse(full)
     if parsed.scheme in ("http", "https"):
-        raise SchemaError(
-            f"remote $ref '{full}' requires network at compile time — not "
-            "supported in this engine (load the remote schema locally instead)"
-        )
+        if base not in id_map:
+            id_map[base] = get_remote_schema(base).data
+        target = id_map[base]
+        return get_element(target, frag.lstrip("/")) if frag else target
     # local file (file: scheme or bare relative path)
     fpath = parsed.path if parsed.scheme == "file" else full.split("#")[0]
     if not os.path.isabs(fpath):

@@ -569,8 +569,22 @@ _HANDLERS = {
 # public API (reference src/JSONSchema.jl:12, src/validation.jl:68-76)
 # ---------------------------------------------------------------------------
 
+def _dispatch_args(schema, x):
+    """Reversed-argument sugar (reference src/validation.jl:75-76:
+    `validate(x, schema::Schema) = validate(schema, x)` and the isvalid
+    analog): when the Schema lands in the second slot, swap.  Mirrors the
+    reference's type-dispatch — only an actual Schema instance triggers the
+    swap, so dict-vs-dict calls keep positional meaning."""
+    from jsonschema_jl_spark.gate.schema import Schema
+
+    if not isinstance(schema, Schema) and isinstance(x, Schema):
+        return x, schema
+    return schema, x
+
+
 def validate(schema, x) -> Issue | None:
     """Return None if `x` validates against `schema`, else the first Issue."""
+    schema, x = _dispatch_args(schema, x)
     data = getattr(schema, "data", schema)
     return _validate(x, data, "")
 

@@ -61,9 +61,83 @@ def test_scalar_pointer_target_errors():
         Schema({"maxLength": 3, "$ref": "#/maxLength/0"})
 
 
-def test_remote_http_ref_rejected():
-    with pytest.raises(SchemaError, match="remote"):
-        Schema({"$ref": "http://example.com/schema.json"})
+# --- remote http(s) $ref: compile-time driver-side fetch ------------------
+# mirrors the reference's local-HTTP-server suite setup
+# (test/runtests.jl:165-178 serves remotes/ on 127.0.0.1 and runs the
+# refRemote cases through it)
+
+@pytest.fixture(scope="module")
+def remote_server(tmp_path_factory):
+    import functools
+    import http.server
+    import threading
+
+    root = tmp_path_factory.mktemp("remotes")
+    _write(root / "integer.json", {"type": "integer"})
+    _write(
+        root / "subSchemas.json",
+        {"definitions": {"positive": {"type": "integer", "minimum": 1}}},
+    )
+
+    hits: dict[str, int] = {}
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def do_GET(self):  # count fetches per path for the caching test
+            hits[self.path] = hits.get(self.path, 0) + 1
+            super().do_GET()
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    handler = functools.partial(Handler, directory=str(root))
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", hits
+    srv.shutdown()
+
+
+def test_remote_ref_whole_document(remote_server):
+    url, _ = remote_server
+    s = Schema({"$ref": f"{url}/integer.json"})
+    assert is_valid(s, 3)
+    assert not is_valid(s, "3")
+
+
+def test_remote_ref_fragment(remote_server):
+    url, _ = remote_server
+    s = Schema(
+        {"properties": {"n": {"$ref": f"{url}/subSchemas.json#/definitions/positive"}}}
+    )
+    assert is_valid(s, {"n": 2})
+    assert not is_valid(s, {"n": 0})
+
+
+def test_remote_ref_relative_to_id_base(remote_server):
+    url, _ = remote_server
+    s = Schema({"$id": f"{url}/root.json", "properties": {"n": {"$ref": "integer.json"}}})
+    assert is_valid(s, {"n": 1})
+    assert not is_valid(s, {"n": "x"})
+
+
+def test_remote_ref_fetched_once_per_build(remote_server):
+    url, hits = remote_server
+    hits.clear()
+    Schema(
+        {
+            "properties": {
+                "a": {"$ref": f"{url}/integer.json"},
+                "b": {"$ref": f"{url}/integer.json"},
+            }
+        }
+    )
+    assert hits.get("/integer.json") == 1  # cached in the id_map
+
+
+def test_remote_ref_404_errors(remote_server):
+    url, _ = remote_server
+    with pytest.raises(SchemaError, match="Unable to get remote schema"):
+        Schema({"$ref": f"{url}/nope.json"})
 
 
 def test_unescape_jpath():
@@ -81,3 +155,27 @@ def test_get_element_array_indexing():
 
 def test_repr():
     assert repr(Schema({})) == "A JSONSchema"
+
+
+def test_inverse_argument_order():
+    # reference test/runtests.jl:325-338 ("Inverse argument order")
+    from jsonschema_jl_spark.gate import validate
+
+    schema = Schema({"properties": {"foo": {}, "bar": {}}, "required": ["foo"]})
+    data_pass = {"foo": True}
+    data_fail = {"bar": 12.5}
+    assert validate(data_pass, schema) is None
+    assert validate(data_fail, schema) is not None
+    assert is_valid(data_pass, schema)
+    assert not is_valid(data_fail, schema)
+
+
+def test_diagnose_text():
+    # reference src/JSONSchema.jl:17-28: diagnose returns the 4-line text
+    from jsonschema_jl_spark.gate import diagnose
+
+    schema = Schema({"properties": {"foo": {}, "bar": {}}, "required": ["foo"]})
+    assert diagnose({"foo": True}, schema) is None
+    txt = diagnose({"bar": 12.5}, schema)
+    assert txt.startswith("Validation failed:")
+    assert "schema key:   required" in txt
