@@ -55,34 +55,59 @@ def _issue_record(x: Any, schema_data: Any) -> dict | None:
     }
 
 
+def _gate_rows(s: pd.Series, schema_data: Any, plan) -> pd.DataFrame:
+    """One batch of JSON texts -> issue records.  When the schema has a
+    columnar screening plan, the batch is parsed once by pyarrow and rows
+    proven CERTAINLY VALID skip the per-row walk entirely; all remaining
+    rows (and whole batches the screen cannot vouch for) run the exact
+    dict-tree walk — see gate/columnar.py for the soundness contract."""
+    import numpy as np
+
+    from jsonschema_jl_spark.gate.columnar import screen_batch
+
+    certainly_valid = screen_batch(s, plan) if plan is not None else None
+    n = len(s)
+    vals = s.to_numpy(dtype=object)
+    cols = {f: np.full(n, None, dtype=object) for f in _ISSUE_FIELDS}
+    walk_idx = (
+        range(n) if certainly_valid is None else np.flatnonzero(~certainly_valid)
+    )
+    for i in walk_idx:
+        raw = vals[i]
+        if raw is None:
+            rec = _issue_record(None, schema_data)
+        else:
+            try:
+                rec = _issue_record(json.loads(raw), schema_data)
+            except (json.JSONDecodeError, TypeError):
+                rec = {
+                    "path": "",
+                    "instance": str(raw)[:256],
+                    "reason": "json",
+                    "value": "malformed JSON",
+                }
+        if rec is not None:
+            for f in _ISSUE_FIELDS:
+                cols[f][i] = rec[f]
+    return pd.DataFrame(cols)
+
+
 def _make_gate_udf(schema_data: Any):
     """Arrow-batched scalar pandas UDF: JSON text -> issue struct.
 
-    The compiled schema dict is captured by closure and shipped once per
-    task via the pickled UDF (broadcast-equivalent in local mode).  Absent
-    keys stay absent (json.loads dict), so required/absent-vs-null semantics
-    match the reference exactly (src/validation.jl:755-766)."""
+    The compiled schema dict (and its columnar screening plan, when one
+    exists) is captured by closure and shipped once per task via the
+    pickled UDF (broadcast-equivalent in local mode).  Absent keys stay
+    absent (json.loads dict), so required/absent-vs-null semantics match
+    the reference exactly (src/validation.jl:755-766)."""
+    from jsonschema_jl_spark.gate.columnar import plan_screen
+
+    plan = plan_screen(schema_data)
 
     @F.pandas_udf(ISSUE_TYPE)
     def gate_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in batch_iter:
-            out = {f: [] for f in _ISSUE_FIELDS}
-            for raw in s:
-                if raw is None:
-                    rec = _issue_record(None, schema_data)
-                else:
-                    try:
-                        rec = _issue_record(json.loads(raw), schema_data)
-                    except (json.JSONDecodeError, TypeError):
-                        rec = {
-                            "path": "",
-                            "instance": str(raw)[:256],
-                            "reason": "json",
-                            "value": "malformed JSON",
-                        }
-                for f in _ISSUE_FIELDS:
-                    out[f].append(None if rec is None else rec[f])
-            yield pd.DataFrame(out)
+            yield _gate_rows(s, schema_data, plan)
 
     return gate_udf
 
