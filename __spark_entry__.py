@@ -1018,16 +1018,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "images_dedup_clusters": _IMAGES_CLUSTERS_SQL,
         # images_from_documents payloads: real PNG iff the BASE doc has
-        # fmt=png (doc_id % 3 == 0); dup/malformed rows copy base bytes, so
-        # decode_ok is a pure function of the base doc_id, and decoded dims
-        # equal the stated w/h (the PNG is encoded at exactly that size).
+        # fmt=png (doc_id % 3 == 0), real baseline JPEG iff fmt=jpeg
+        # (doc_id % 3 == 1, pure-numpy codec); dup/malformed rows copy base
+        # bytes, so decode_ok is a pure function of the base doc_id, and
+        # decoded dims equal the stated w/h (codecs encode at exactly that
+        # size; the JPEG decoder crops its 8x8 padding back).
         "images_features": """
           WITH base AS (
             SELECT doc_id,
                    CAST(32 + doc_id % 33 AS INT) AS w,
                    CAST(32 + (doc_id * 7) % 33 AS INT) AS h,
                    (['png','jpeg','webp'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
-                   doc_id % 3 = 0 AS ok
+                   doc_id % 3 < 2 AS ok
             FROM documents),
           imgs AS (
             SELECT w, h, fmt, ok FROM base

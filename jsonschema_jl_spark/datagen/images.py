@@ -146,12 +146,25 @@ def _pixels_for(i: int, w: int, h: int) -> np.ndarray:
     return px.astype(np.uint8)
 
 
+def _encode_for(i: int, w: int, h: int, fmt: str) -> bytes:
+    """Real payload per fmt lane: lossless PNG, lossy baseline JPEG at
+    quality 98 (decoded-pixel PSNR >= 40 dB vs source, the BASELINE.json:15
+    lossy invariant); webp has no in-container codec, so that lane carries
+    PNG bytes (decode_image sniffs signatures, so the bytes still decode)."""
+    px = _pixels_for(i, w, h)
+    if fmt == "jpeg":
+        from jsonschema_jl_spark.operators.jpeg import jpeg_encode
+
+        return jpeg_encode(px, quality=98)
+    return png_encode(px)
+
+
 def _row_for(i: int, cfg: DedupConfig, with_bytes: bool) -> dict:
     w, h = _dims_for(i)
     fmt = ["png", "jpeg", "webp"][_h1(_base_id(i), 17) % 3]
     return {
         "image_id": f"img{i:012d}",
-        "bytes": png_encode(_pixels_for(i, w, h)) if with_bytes else b"",
+        "bytes": _encode_for(i, w, h, fmt) if with_bytes else b"",
         "w": w,
         "h": h,
         "fmt": fmt,

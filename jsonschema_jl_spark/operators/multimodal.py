@@ -1,12 +1,14 @@
 """Multimodal (image) column plumbing: opaque binary + typed metadata,
 decode/feature kernels as Arrow-batched pandas UDFs (P14 + training-data ops).
 
-A minimal pure-stdlib PNG codec (zlib + struct, 8-bit RGB, filter 0) makes
-the `bytes` column REAL: datagen encodes actual pixels, and the per-row
-invariant check (decoded-pixel PSNR, BASELINE.json:15) decodes them back.
-JPEG/WebP decoding needs codec libraries absent from this container — those
-paths are stubbed behind NotImplementedError with the Spark-side plumbing
-(schema, batching, UDF signatures) real and tested.
+A minimal pure-stdlib PNG codec (zlib + struct, 8-bit RGB, filter 0) and a
+pure-numpy baseline JPEG codec (operators/jpeg.py) make the `bytes` column
+REAL: datagen encodes actual pixels (lossless png lane, lossy jpeg lane),
+and the per-row invariant check (decoded-pixel PSNR >= 40 dB for lossy,
+BASELINE.json:15) decodes them back.  WebP decoding needs codec libraries
+absent from this container — that path is stubbed behind
+NotImplementedError with the Spark-side plumbing (schema, batching, UDF
+signatures) real and tested.
 """
 
 from __future__ import annotations
@@ -71,10 +73,10 @@ def png_decode(data: bytes) -> np.ndarray:
         if ftype == 0:
             out[row] = line
         elif ftype == 1:  # Sub
-            acc = line.astype(np.int32)
-            for i in range(3, line.size):
-                acc[i] = (acc[i] + acc[i - 3]) & 0xFF
-            out[row] = acc.astype(np.uint8)
+            # per-channel prefix sum mod 256 (vectorized; mod distributes
+            # over addition, so one cumsum in int64 then mask is exact)
+            acc = np.cumsum(line.reshape(w, 3).astype(np.int64), axis=0) & 0xFF
+            out[row] = acc.astype(np.uint8).reshape(w * 3)
         elif ftype == 2:  # Up
             out[row] = (line.astype(np.int32) + out[row - 1].astype(np.int32)).astype(np.uint8)
         else:
@@ -85,10 +87,16 @@ def png_decode(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if data[:8] == _PNG_SIG:
         return png_decode(data)
-    if fmt in ("jpeg", "webp"):
-        # codec libraries (libjpeg/libwebp/PIL) are not in this container;
-        # plumbing is real, the codec call is the stub.
-        raise NotImplementedError(f"{fmt} decode requires a codec library")
+    if data[:2] == b"\xff\xd8":
+        # baseline JFIF via the pure-numpy codec (operators/jpeg.py);
+        # progressive/subsampled streams raise NotImplementedError there
+        from jsonschema_jl_spark.operators.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
+    if fmt == "webp":
+        # libwebp/PIL are not in this container; plumbing is real, the
+        # codec call is the stub.
+        raise NotImplementedError("webp decode requires a codec library")
     raise ValueError(f"unknown image payload for fmt={fmt}")
 
 

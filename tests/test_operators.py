@@ -41,8 +41,13 @@ def test_png_roundtrip():
     assert psnr(px, back) == float("inf")
 
 
-def test_lossy_decode_is_stubbed():
+def test_webp_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBP fake", "webp")
+
+
+def test_truncated_jpeg_rejected():
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg", "jpeg")
 
 
@@ -102,7 +107,8 @@ def test_with_resized(spark):
     df = generate_images(spark, 30, CFG, with_malformed=False)
     out = with_resized(df, 16, 16).select("image_id", "fmt", "resized.*").collect()
     assert len(out) == 30
-    # datagen writes PNG payloads for every fmt label, so all rows resize
+    # datagen payloads all decode (png/jpeg real codecs; webp lane carries
+    # png bytes), so all rows resize
     for r in out:
         assert r.resize_ok and r.w == 16 and r.h == 16
         assert decode_image(bytes(r.bytes), "png").shape == (16, 16, 3)
