@@ -38,7 +38,7 @@ from jsonschema_jl_spark.operators.minhash import with_signatures
 
 CFG = DedupConfig()
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-DATAGEN_V = 2  # bump to invalidate cached input
+DATAGEN_V = 3  # bump to invalidate cached input (v3: real jpeg-lane payloads)
 
 
 def sf_from_dir(sf_dir: str) -> float:

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
 
@@ -56,10 +56,12 @@ def candidate_pairs(
 ):
     """Distinct (src, dst) candidate pairs (src < dst) from shared buckets.
 
-    ONE shuffle of the big side: a windowed per-bucket count (exchange on
-    bucket + sort) filters to rows in shared, non-capped buckets FIRST, then
-    collect_list + map-side nested-transform pair expansion run on that
-    (small) survivor set reusing the same partitioning — no second exchange.
+    ONE shuffle of the big side: the bucket rows are hash-partitioned once;
+    a per-bucket hash-aggregated count filters to rows in shared, non-capped
+    buckets FIRST (shuffled-hash join against the tiny survivor-bucket set,
+    reusing the same exchange), then collect_list + map-side nested-transform
+    pair expansion run on that (small) survivor set — no second exchange and
+    NO SORT anywhere (a count window would sort all rows x bands).
 
     Ordering matters twice at scale: (a) collect_list's object buffers are
     ~10x costlier per row than scalar aggs, so list-building must see only
@@ -73,8 +75,18 @@ def candidate_pairs(
 
     Returns df, or (df, SkewMetrics) when with_metrics=True (metrics trigger
     one extra action over the per-bucket counts only)."""
-    sized_rows = buckets.withColumn("n", F.count("*").over(Window.partitionBy("bucket")))
-    ok_rows = sized_rows.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap))
+    # ONE exchange, ZERO sorts: hash-partition the bucket rows once; the
+    # per-bucket count (hash agg), the survivor filter (shuffled-hash join —
+    # SMJ would re-sort both sides), and the collect_list all reuse that
+    # partitioning.  The previous formulation used a count window, whose
+    # WindowExec must SORT all O(rows x bands) bucket rows inside each
+    # partition — measured as the single largest non-kernel cost at 25.6M
+    # bucket rows; hash aggregation needs no order.
+    par = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rows = buckets.repartition(par, "bucket")
+    counts = rows.groupBy("bucket").agg(F.count("*").alias("n"))
+    shared = counts.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap)).drop("n")
+    ok_rows = rows.join(shared.hint("SHUFFLE_HASH"), "bucket")
     grouped = ok_rows.groupBy("bucket").agg(F.collect_list("id").alias("ids"))
     pairs = (
         grouped.select(

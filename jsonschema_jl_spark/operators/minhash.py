@@ -97,23 +97,41 @@ def _shingle_flat_batch(
         bufs.append(b)
     n = len(bufs)
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
-    counts = lens - (k - 1)                      # windows per row (>= 1)
     arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-    starts = np.zeros(n, dtype=np.int64)         # row start offsets in arr
-    np.cumsum(lens[:-1], out=starts[1:])
-    # global window positions, skipping windows that cross row boundaries
-    cum = np.zeros(n, dtype=np.int64)
-    np.cumsum(counts[:-1], out=cum[1:])
-    total = int(cum[-1] + counts[-1])
-    row = np.repeat(np.arange(n, dtype=np.int64), counts)
-    pos = np.repeat(starts, counts) + (np.arange(total, dtype=np.int64) - np.repeat(cum, counts))
-    # Horner evaluation of the k-byte polynomial hash, wrapping mod 2^64 —
-    # identical to shingle_set_np's win @ powers (byte j weighted B^j, so
-    # accumulate from the highest byte index down)
-    h = np.zeros(total, dtype=np.uint64)
+    return _shingle_flat_from_buffer(arr, lens, k)
+
+
+def _shingle_flat_from_buffer(
+    arr: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Shingle hashes from a concatenated uint8 buffer + per-row byte
+    lengths (every row length >= k; pad before calling).  Horner-hashes
+    EVERY contiguous window of the whole buffer in k streaming passes (no
+    index arrays), then masks out the k-1 windows per row that cross a row
+    boundary — ~40x less memory traffic than gathering each window through
+    a position array, which matters because this kernel runs on every core
+    at once and the memory bus is the scaling bottleneck."""
+    n = lens.size
+    counts = lens - (k - 1)                      # windows per row (>= 1)
+    m = arr.size - (k - 1)                       # all contiguous windows
     a64 = arr.astype(np.uint64)
-    for j in range(k - 1, -1, -1):
-        h = h * _POLY_BASE + a64[pos + j]
+    h_all = a64[k - 1 : k - 1 + m].copy()
+    for j in range(k - 2, -1, -1):
+        h_all *= _POLY_BASE
+        h_all += a64[j : j + m]
+    # mask windows that straddle a row boundary (the last k-1 of each row)
+    ends = np.cumsum(lens)
+    mask = np.ones(m, dtype=bool)
+    for j in range(1, k):
+        idx = ends - j
+        mask[idx[idx < m]] = False
+    h = h_all[mask]
+    # row ids via cumsum-of-markers (avoids np.repeat's per-row loop)
+    total = int(counts.sum())
+    row = np.zeros(total, dtype=np.int64)
+    if n > 1:
+        row[np.cumsum(counts[:-1])] = 1
+        row = np.cumsum(row)
     return h, row, counts, n
 
 
@@ -182,16 +200,23 @@ def _oph_signatures_flat(
     M = np.full(n * P, _EMPTY, dtype=np.uint64)
     M[k_s[starts]] = mins
     M = M.reshape(n, P)
-    # rotation densification: iterate borrowing from the immediate right
-    # neighbor (cyclic); only rows that still have empty bins participate
-    rows_left = np.flatnonzero((M == _EMPTY).any(axis=1))
-    while rows_left.size:
-        sub = M[rows_left]
-        donor = np.roll(sub, -1, axis=1)
-        fill = (sub == _EMPTY) & (donor != _EMPTY)
-        sub[fill] = donor[fill] + _HOP
-        M[rows_left] = sub
-        rows_left = rows_left[(sub == _EMPTY).any(axis=1)]
+    # rotation densification, closed form: empty bin j borrows from the
+    # nearest filled bin at-or-right of j (cyclic), +HOP per hop — computed
+    # directly via a reversed running min over filled-bin indices instead of
+    # iterating roll-and-fill passes (which cost one full-matrix sweep per
+    # hop; sparse rows needed dozens)
+    filled = M != _EMPTY
+    col = np.arange(P, dtype=np.int64)
+    sentinel = np.iinfo(np.int64).max
+    idxf = np.where(filled, col[None, :], sentinel)
+    nxt = np.minimum.accumulate(idxf[:, ::-1], axis=1)[:, ::-1]
+    # cyclic wrap: bins right of a row's last filled bin borrow its FIRST
+    # filled bin, P hops further (every row has >= 1 shingle, so nxt[:,0]
+    # is never the sentinel)
+    nxt = np.where(nxt == sentinel, nxt[:, :1] + P, nxt)
+    d = (nxt - col[None, :]).astype(np.uint64)
+    donor = M[np.arange(n)[:, None], nxt % P]
+    M = np.where(filled, M, donor + d * _HOP)
     # Interleave bins across LSH bands: densification copies a bin's
     # agreement onto its (empty) neighbors, so CONTIGUOUS bins are strongly
     # correlated — banding them together inflates false-candidate rates by
@@ -248,6 +273,110 @@ _SIG_SCHEMA = T.StructType(
 )
 
 
+def _signatures_map_in_arrow(
+    df: DataFrame, text_col: str, cfg: DedupConfig, normalized: bool
+) -> DataFrame:
+    """minhash column via mapInArrow with zero-copy Arrow I/O — the pipeline
+    hot path (keep_shingles=False).
+
+    The pandas-UDF route pays two per-row conversion taxes this avoids: the
+    text column materializes as Python str objects on the way in, and the
+    128-long signature rows build a ListArray element-by-element on the way
+    out.  Here the shingle kernel reads the UTF-8 bytes straight out of the
+    Arrow string buffer (one vectorized gather builds the padded concat
+    buffer) and the signatures leave as ONE flat int64 buffer wrapped in a
+    ListArray with arithmetic offsets — no per-row Python objects in either
+    direction.  Signatures are bit-identical to minhash_batch's."""
+    import pyarrow as pa
+
+    P = cfg.num_perm
+    k = cfg.shingle_k
+    out_schema_t = T.StructType(
+        df.schema.fields + [T.StructField("minhash", T.ArrayType(T.LongType()), False)]
+    )
+    col_names = list(df.columns)
+    col_idx = col_names.index(text_col)
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(col_idx)
+            if normalized and pa.types.is_string(col.type) and col.null_count == 0:
+                # zero-copy: UTF-8 data + offsets straight from Arrow
+                acol = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                off = np.frombuffer(acol.buffers()[1], dtype=np.int32)[
+                    acol.offset : acol.offset + n + 1
+                ].astype(np.int64)
+                data = np.frombuffer(acol.buffers()[2], dtype=np.uint8)
+                starts, lens = off[:-1], np.diff(off)
+            else:
+                # normalize (or null-fill) per row, then concat
+                texts = col.to_pandas()
+                if not normalized:
+                    texts = normalize_series(texts.astype(object))
+                bufs = [str(t).encode("utf-8") for t in texts.fillna("")]
+                lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+                data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+            if (lens < k).any() or not (
+                n == 1 or (starts[1:] == starts[:-1] + lens[:-1]).all()
+            ):
+                # pad short rows to k (zero-fill) into a fresh contiguous
+                # buffer with ONE vectorized gather
+                out_lens = np.maximum(lens, k)
+                ostarts = np.zeros(n, dtype=np.int64)
+                np.cumsum(out_lens[:-1], out=ostarts[1:])
+                buf = np.zeros(int(out_lens.sum()), dtype=np.uint8)
+                tot = int(lens.sum())
+                if tot:
+                    # rid[i] = source row of the i-th copied byte; ramp[i] =
+                    # its offset within that row (cumsum-of-markers form)
+                    rid = np.zeros(tot, dtype=np.int64)
+                    nz = np.cumsum(lens[:-1])
+                    rid[nz[nz < tot]] = 1
+                    rid = np.cumsum(rid)
+                    in_starts = np.concatenate(([0], nz))
+                    ramp = np.arange(tot, dtype=np.int64) - in_starts[rid]
+                    buf[ostarts[rid] + ramp] = data[starts[rid] + ramp]
+                data, lens = buf, out_lens
+            else:
+                data = data[starts[0] : starts[-1] + lens[-1]]
+            flat, row, _counts, _n = _shingle_flat_from_buffer(data, lens, k)
+            sigs = np.ascontiguousarray(
+                _oph_signatures_flat(flat, row, n, cfg)
+                if cfg.minhash_scheme == "oph"
+                else _classic_signatures_flat(flat, row, lens - (k - 1), n, cfg)
+            ).reshape(-1)
+            offsets = pa.array((np.arange(n + 1, dtype=np.int64) * P).astype(np.int32))
+            minhash = pa.ListArray.from_arrays(offsets, pa.array(sigs, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [minhash],
+                names=col_names + ["minhash"],
+            )
+
+    return df.mapInArrow(gen, schema=out_schema_t)
+
+
+def _classic_signatures_flat(
+    flat: np.ndarray, row: np.ndarray, counts: np.ndarray, n: int, cfg: DedupConfig
+) -> np.ndarray:
+    """Classic k-permutation signatures from the flat window stream (same
+    math as minhash_batch's classic branch)."""
+    a, b = _perm_params(cfg)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    P = cfg.num_perm
+    sigs = np.empty((P, n), dtype=np.uint64)
+    step = 16
+    for i in range(0, P, step):
+        h = a[i : i + step, None] * flat[None, :] + b[i : i + step, None]
+        sigs[i : i + step, :] = np.minimum.reduceat(h, offsets, axis=1)
+    return sigs.view(np.int64).T
+
+
 def with_signatures(
     df: DataFrame, text_col: str = "caption", cfg: DedupConfig = DEFAULT_CONFIG,
     repartition: bool = True, keep_shingles: bool = True,
@@ -272,18 +401,13 @@ def with_signatures(
             sets, sigs = minhash_batch(texts, cfg, normalized=assume_normalized)
             yield pd.DataFrame({"shingles": sets, "minhash": sigs})
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_only_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for texts in batch_iter:
-            _, sigs = minhash_batch(texts, cfg, need_sets=False, normalized=assume_normalized)
-            yield pd.Series(sigs)
-
     if repartition:
         # partition count follows the configured shuffle partitions (a data-
         # size property), not the executor count — see pipeline.py
         df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     if not keep_shingles:
-        return df.withColumn("minhash", sig_only_udf(F.col(text_col)))
+        # hot path: zero-copy Arrow kernel (see _signatures_map_in_arrow)
+        return _signatures_map_in_arrow(df, text_col, cfg, normalized=assume_normalized)
     out = df.withColumn("__sig", sig_udf(F.col(text_col)))
     return out.withColumn("shingles", F.col("__sig.shingles")).withColumn(
         "minhash", F.col("__sig.minhash")

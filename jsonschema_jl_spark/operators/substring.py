@@ -83,12 +83,16 @@ def containment_pairs(
             )
         ).alias("key"),
     )
-    # cap degenerate anchors (e.g. a ubiquitous phrase) like LSH buckets
+    # cap degenerate anchors (e.g. a ubiquitous phrase) like LSH buckets.
+    # All four joins below carry SHUFFLE_HASH hints on their smaller side:
+    # the default sort-merge strategy would SORT the multi-million-row gram
+    # and text relations at every join, and hash joins need no order — at
+    # bench scale the sorts were the dominant non-kernel cost of this pass.
     sizes = grams.groupBy("key").agg(F.count("*").alias("n"))
     ok = sizes.filter(F.col("n") <= anchor_cap).drop("n")
-    grams = grams.join(ok, "key")
+    grams = grams.join(ok.hint("SHUFFLE_HASH"), "key")
     cand = (
-        probe.join(grams, "key")
+        probe.hint("SHUFFLE_HASH").join(grams, "key")
         .filter((F.col("id") != F.col("id_b")) & (F.col("len") < F.col("len_b")))
         .select("id", "id_b")
         .dropDuplicates(["id", "id_b"])
@@ -96,8 +100,8 @@ def containment_pairs(
     a = base.select(F.col("id"), F.col("txt"))
     b = base.select(F.col("id").alias("id_b2"), F.col("txt").alias("txt_b"))
     return (
-        cand.join(a, "id")
-        .join(b, cand.id_b == b.id_b2)
+        cand.hint("SHUFFLE_HASH").join(a, "id")
+        .join(b.hint("SHUFFLE_HASH"), cand.id_b == b.id_b2)
         .filter(F.instr(F.col("txt_b"), F.col("txt")) > 0)
         .select(F.col("id").alias("src"), F.col("id_b").alias("dst"))
     )

@@ -124,7 +124,9 @@ def verify_jaccard_text(
     t = texts.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     left = t.select(F.col("id").alias("src"), F.col("txt").alias("txt_src"))
     right = t.select(F.col("id").alias("dst"), F.col("txt").alias("txt_dst"))
-    joined = pairs.join(left, "src").join(right, "dst")
+    # hash joins (no sort): sort-merge would order the full text relation
+    # twice just to fetch candidate texts
+    joined = pairs.hint("SHUFFLE_HASH").join(left, "src").hint("SHUFFLE_HASH").join(right, "dst")
     udf = _make_text_jaccard_udf(cfg, normalized=assume_normalized)
     out = joined.withColumn("jaccard", udf(F.col("txt_src"), F.col("txt_dst")))
     return out.filter(F.col("jaccard") >= F.lit(cfg.jaccard_tau)).select(
