@@ -27,6 +27,7 @@ import copy
 import json
 import os
 import re
+import warnings
 from typing import Any
 from urllib.parse import urljoin, urlparse, urldefrag, unquote
 
@@ -211,7 +212,17 @@ class Schema:
     Mirrors the reference's `Schema` (src/schema.jl:244-265): the payload is
     either a dict or a bare bool (`true` accept-all / `false` reject-all)."""
 
-    def __init__(self, schema: Any, parent_dir: str = ".") -> None:
+    def __init__(
+        self, schema: Any, parent_dir: str = ".", parentFileDirectory: str | None = None
+    ) -> None:
+        if parentFileDirectory is not None:
+            # deprecation shim kept for reference API parity (src/schema.jl:249-259)
+            warnings.warn(
+                "kwarg `parentFileDirectory` is deprecated. Use `parent_dir` instead.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            parent_dir = parentFileDirectory
         if isinstance(schema, str):
             schema = json.loads(schema)
         if isinstance(schema, bool):

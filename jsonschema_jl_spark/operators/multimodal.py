@@ -211,15 +211,33 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
+_VIDEO_FMTS = {"avi", "mp4", "mkv", "webm", "mov"}
+
+
+def demux_video(data: bytes, fmt: str) -> list[np.ndarray]:
+    """Demux a video payload into decoded RGB frame arrays.
+
+    `avi` (uncompressed RIFF/DIB, operators/avi.py) is fully real — pure
+    numpy, byte-exact round-trip.  Compressed containers need codec
+    libraries absent from this sandbox and raise NotImplementedError (same
+    honest-stub contract as `decode_image`)."""
+    if fmt == "avi":
+        from jsonschema_jl_spark.operators.avi import avi_demux
+
+        return avi_demux(data)[0]
+    raise NotImplementedError(f"{fmt} demux requires a codec library")
+
+
 def with_sampled_frames(
     df: DataFrame, every_n: int = 30, bytes_col: str = "bytes", fmt_col: str = "fmt"
 ) -> DataFrame:
-    """Frame sampling for video payloads: every `every_n`-th frame as an
-    encoded image array.  Container has no video codecs, so the demux/decode
-    step is a deterministic fake — byte-sliced pseudo-frames with real
-    indices — keeping the Spark plumbing (schema shape, Arrow batching,
-    array-of-binary output) real and testable.  Swap `_fake_demux` for a
-    PyAV/ffmpeg call in production."""
+    """Frame sampling: every `every_n`-th frame as an array of PNG-encoded
+    images.  `avi` payloads go through the REAL pure-numpy demux
+    (operators/avi.py) and each kept frame is re-encoded with the real PNG
+    codec; compressed video containers (no codec libs in this sandbox) and
+    non-video payloads fall back to deterministic byte-sliced pseudo-frames
+    with real indices, keeping the Spark plumbing (schema shape, Arrow
+    batching, array-of-binary output) exercised for every row."""
 
     def _fake_demux(raw: bytes) -> list[bytes]:
         # deterministic: chunk payload into <=16 pseudo-frames of >=64 bytes
@@ -231,8 +249,16 @@ def with_sampled_frames(
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             idxs, frames = [], []
-            for data, _fmt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
-                fs = _fake_demux(bytes(data))
+            for data, fmt in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                raw = bytes(data)
+                fs = None
+                if fmt in _VIDEO_FMTS:
+                    try:
+                        fs = [png_encode(px) for px in demux_video(raw, fmt)]
+                    except (NotImplementedError, ValueError, struct.error):
+                        fs = None  # stubbed codec or corrupt stream
+                if fs is None:
+                    fs = _fake_demux(raw)
                 keep = list(range(0, len(fs), max(1, every_n)))
                 idxs.append(keep)
                 frames.append([fs[i] for i in keep])

@@ -179,3 +179,15 @@ def test_diagnose_text():
     txt = diagnose({"bar": 12.5}, schema)
     assert txt.startswith("Validation failed:")
     assert "schema key:   required" in txt
+
+
+def test_parent_file_directory_deprecation(tmp_path):
+    # reference src/schema.jl:249-259: the deprecated kwarg still works but warns
+    (tmp_path / "leaf.json").write_text('{"type": "integer"}')
+    root = {"properties": {"x": {"$ref": "leaf.json"}}}
+    with pytest.warns(DeprecationWarning, match="parentFileDirectory"):
+        s = Schema(root, parentFileDirectory=str(tmp_path))
+    assert s.data["properties"]["x"]["$ref"] == {"type": "integer"}
+    # and the modern kwarg resolves identically, silently
+    s2 = Schema(root, parent_dir=str(tmp_path))
+    assert s2.data == s.data
