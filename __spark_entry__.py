@@ -16,7 +16,10 @@ typed gate breakdown via a CASE mirror of keyword order.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -561,6 +564,53 @@ def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_images_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video lane end-to-end with a pure-SQL oracle: synthesize an
+    uncompressed AVI per document row (1 + doc_id % 13 flat 8x8 frames,
+    frame f filled with (doc_id*31 + f) % 256), run the REAL container
+    demux + frame sampling (operators/avi.py via with_sampled_frames,
+    every 4th frame re-encoded with the real PNG codec), then decode the
+    kept frames back and checksum their pixels.  Every reported number is
+    id arithmetic DuckDB mirrors exactly: a flat 8x8 frame of value v
+    decodes to pixel sum 192*v, so px_sum proves mux -> demux -> PNG
+    encode -> PNG decode round-tripped every sampled frame bit-exactly."""
+    from jsonschema_jl_spark.operators.avi import avi_encode
+    from jsonschema_jl_spark.operators.multimodal import png_decode, with_sampled_frames
+
+    @F.pandas_udf("binary")
+    def synth(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield ids.map(
+                lambda i: avi_encode(
+                    [
+                        np.full((8, 8, 3), (int(i) * 31 + f) % 256, dtype=np.uint8)
+                        for f in range(1 + int(i) % 13)
+                    ],
+                    fps=8,
+                )
+            )
+
+    @F.pandas_udf("long")
+    def px_sum(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            yield col.map(
+                lambda frames: sum(int(png_decode(bytes(p)).sum()) for p in frames)
+            )
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("fmt", F.lit("avi"))
+        .withColumn("bytes", synth("doc_id"))
+    )
+    return with_sampled_frames(d, every_n=4).select(
+        "doc_id",
+        (F.lit(1) + F.col("doc_id") % 13).cast("int").alias("n_frames"),
+        F.size("sampled.frame_idx").alias("n_kept"),
+        px_sum("sampled.frames").alias("px_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gate_events_dynamic": q_gate_events_dynamic,
@@ -599,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_gate_breakdown": q_images_gate_breakdown,
         "images_features": q_images_features,
         "doc_minhash_signatures": q_doc_minhash_signatures,
+        "images_frame_sample": q_images_frame_sample,
     }
 
 
@@ -1040,6 +1091,19 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN ok THEN round(avg(w), 2) END AS avg_w,
                  CASE WHEN ok THEN round(avg(h), 2) END AS avg_h
           FROM imgs GROUP BY fmt, ok ORDER BY fmt, ok
+        """,
+        # mirror of q_images_frame_sample's id arithmetic: a flat 8x8 frame
+        # of value v has pixel sum 8*8*3*v = 192*v; frames kept are
+        # f in {0,4,8,12} with f < n_frames (every_n=4)
+        "images_frame_sample": """
+          SELECT doc_id,
+                 CAST(1 + doc_id % 13 AS INT) AS n_frames,
+                 CAST(len([f FOR f IN [0, 4, 8, 12] IF f < 1 + doc_id % 13]) AS INT)
+                   AS n_kept,
+                 CAST(list_sum([192 * ((doc_id * 31 + f) % 256)
+                                FOR f IN [0, 4, 8, 12] IF f < 1 + doc_id % 13])
+                      AS BIGINT) AS px_sum
+          FROM documents
         """,
     }
 
