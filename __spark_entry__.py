@@ -611,6 +611,55 @@ def q_images_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio lane end-to-end with a pure-SQL oracle: synthesize a 16-bit
+    PCM RIFF/WAVE per document row (alternating ±a square wave with
+    a = (doc_id*37) % 1000 + 17 over 64 + (doc_id % 5)*16 samples), run
+    the REAL chunk-walking decoder + feature kernel
+    (operators/multimodal.py with_audio_features), and report the
+    features.  The square wave makes every feature closed-form id
+    arithmetic DuckDB mirrors exactly: |x| == a everywhere, so rms == a
+    (a² is an exact float64 square, sqrt exact) and peak == a.  Rows
+    with doc_id % 7 == 0 carry a fake compressed payload ('mp3' magic,
+    not RIFF) to oracle the stubbed-codec lane: decode_ok=false,
+    features null."""
+    from jsonschema_jl_spark.operators.multimodal import wav_encode, with_audio_features
+
+    @F.pandas_udf("binary")
+    def synth(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(i: int) -> bytes:
+            if i % 7 == 0:
+                return b"\xff\xfbFAKE-MP3-PAYLOAD"
+            a = (i * 37) % 1000 + 17
+            n = 64 + (i % 5) * 16
+            wave = np.full(n, a, dtype=np.int16)
+            wave[1::2] = -a
+            return wav_encode(wave, sample_rate=16000, channels=1)
+
+        for ids in it:
+            yield ids.map(lambda i: one(int(i)))
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn(
+            "fmt", F.when(F.col("doc_id") % 7 == 0, F.lit("mp3")).otherwise(F.lit("wav"))
+        )
+        .withColumn("bytes", synth("doc_id"))
+    )
+    return with_audio_features(d).select(
+        "doc_id",
+        "fmt",
+        F.col("audio_features.decode_ok").alias("decode_ok"),
+        F.col("audio_features.sample_rate").alias("sample_rate"),
+        F.col("audio_features.channels").alias("channels"),
+        F.col("audio_features.n_samples").alias("n_samples"),
+        F.col("audio_features.duration_s").alias("duration_s"),
+        F.col("audio_features.rms").alias("rms"),
+        F.col("audio_features.peak").alias("peak"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gate_events_dynamic": q_gate_events_dynamic,
@@ -650,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_features": q_images_features,
         "doc_minhash_signatures": q_doc_minhash_signatures,
         "images_frame_sample": q_images_frame_sample,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1103,6 +1153,24 @@ def oracle_sql() -> dict[str, str]:
                  CAST(list_sum([192 * ((doc_id * 31 + f) % 256)
                                 FOR f IN [0, 4, 8, 12] IF f < 1 + doc_id % 13])
                       AS BIGINT) AS px_sum
+          FROM documents
+        """,
+        # mirror of q_audio_features' square-wave arithmetic: alternating
+        # ±a has |x| == a everywhere, so rms == peak == a exactly
+        "audio_features": """
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 'mp3' ELSE 'wav' END AS fmt,
+                 doc_id % 7 <> 0 AS decode_ok,
+                 CASE WHEN doc_id % 7 <> 0 THEN 16000 END AS sample_rate,
+                 CASE WHEN doc_id % 7 <> 0 THEN 1 END AS channels,
+                 CASE WHEN doc_id % 7 <> 0
+                      THEN CAST(64 + (doc_id % 5) * 16 AS INT) END AS n_samples,
+                 CASE WHEN doc_id % 7 <> 0
+                      THEN (64 + (doc_id % 5) * 16) / 16000.0 END AS duration_s,
+                 CASE WHEN doc_id % 7 <> 0
+                      THEN CAST((doc_id * 37) % 1000 + 17 AS DOUBLE) END AS rms,
+                 CASE WHEN doc_id % 7 <> 0
+                      THEN CAST((doc_id * 37) % 1000 + 17 AS INT) END AS peak
           FROM documents
         """,
     }
