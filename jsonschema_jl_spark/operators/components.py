@@ -137,8 +137,13 @@ def connected_components_twophase(
             .distinct()
         )
         e = checkpoint_fn(ss, it)
+        # convergence signature: (edge count, XOR of full 64-bit edge hashes).
+        # Edges are distinct so XOR cancellation can't hide changes; two
+        # different edge sets colliding on both fields is a 2^-64 event
+        # (the earlier `sum(h % 1_000_003)` needlessly threw away hash bits).
         sig = e.agg(
-            F.count("*").alias("n"), F.sum(F.xxhash64("a", "b") % 1_000_003).alias("h")
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
         ).collect()[0]
         cur = (sig["n"], sig["h"])
         if cur == prev_sig:

@@ -440,7 +440,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if entropy:
+                # a second SOS means a multi-scan (non-interleaved) baseline
+                # stream; decoding only the last scan would silently return
+                # garbage as if complete — honest-stub contract says raise
+                raise NotImplementedError("multi-scan (non-interleaved) baseline JPEG")
             ns = payload[0]
+            if comps and ns < len(comps):
+                raise NotImplementedError("multi-scan (non-interleaved) baseline JPEG")
             ids = [c[0] for c in comps]
             scan_comps = [
                 (ids.index(payload[1 + 2 * i]), payload[2 + 2 * i] >> 4,

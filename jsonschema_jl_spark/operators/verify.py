@@ -125,8 +125,10 @@ def verify_jaccard_text(
     left = t.select(F.col("id").alias("src"), F.col("txt").alias("txt_src"))
     right = t.select(F.col("id").alias("dst"), F.col("txt").alias("txt_dst"))
     # hash joins (no sort): sort-merge would order the full text relation
-    # twice just to fetch candidate texts
-    joined = pairs.hint("SHUFFLE_HASH").join(left, "src").hint("SHUFFLE_HASH").join(right, "dst")
+    # twice just to fetch candidate texts; hint the fixed-width text
+    # relation for the second join — the pairs-with-texts intermediate can
+    # be the larger side and each of its rows already carries txt_src
+    joined = pairs.hint("SHUFFLE_HASH").join(left, "src").join(right.hint("SHUFFLE_HASH"), "dst")
     udf = _make_text_jaccard_udf(cfg, normalized=assume_normalized)
     out = joined.withColumn("jaccard", udf(F.col("txt_src"), F.col("txt_dst")))
     return out.filter(F.col("jaccard") >= F.lit(cfg.jaccard_tau)).select(
