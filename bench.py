@@ -102,6 +102,13 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
         n_dyn = apply_gate(ev, dyn_schema, json_col="props").filter("isvalid").count()
         timings["gate_dynamic"] = round(time.time() - t0, 2)
         timings["gate_dynamic_rows"] = ev.count()
+        # verdict-only fast path: certainly-INVALID rows also skip the dict
+        # walk (corpus-cleaning shape: the rejected 5-30% were the slowest
+        # rows before this)
+        gate_filter(ev, dyn_schema, json_col="props").count()  # warm
+        t0 = time.time()
+        gate_filter(ev, dyn_schema, json_col="props").count()
+        timings["gate_dynamic_filter"] = round(time.time() - t0, 2)
 
     runs = []
     for _ in range(2):

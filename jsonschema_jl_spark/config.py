@@ -41,6 +41,12 @@ class DedupConfig:
                                   # any occurrence aligns one probe gram with
                                   # a strided container gram)
     min_contained_len: int = 16   # >= anchor_gram + anchor_stride - 1
+    max_contained_len: int = 1024 # SA cross-check only: longest caption that
+                                  # can appear as the CONTAINED side; bounds
+                                  # the suffix explode at O(total_chars*cap)
+                                  # instead of a data-dependent driver agg
+                                  # (captions here are <=~600 normalized
+                                  # chars; containment_pairs has no cap)
     # --- connected components (P11) ---
     cc_max_iters: int = 25
     # --- misc ---

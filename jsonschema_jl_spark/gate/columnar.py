@@ -10,17 +10,26 @@ keyword checks), this module screens whole Arrow batches columnar-ly:
   2. each planned property runs vectorized checks (pyarrow.compute /
      numpy) over its column;
   3. rows the screen proves CERTAINLY VALID get a NULL issue with no Python
-     per-row work; every other row falls back to the exact dict-walk.
+     per-row work; rows it proves CERTAINLY INVALID can — in verdict-only
+     consumers like `gate_filter`, where the issue struct is dropped — skip
+     the walk too; every other row falls back to the exact dict-walk.
 
-Soundness contract: the screen may only declare a row valid when the exact
-validator would — any ambiguity (parse surprises, unhandled column types,
-absent-vs-null when the two verdicts differ, numeric magnitude beyond
-float64's exact-integer range, enum corner cases) routes the row (or whole
-batch) to the dict walk.  False "maybe-invalid" verdicts cost only time;
-the walk recomputes them exactly, including the precise first-failure
-issue.  Verdict-changing bugs are therefore only possible as false-valids,
-which the conformance suite + differential fuzz (tests/test_gate_*) and the
-dedicated screen-vs-walk differential (tests/test_gate_columnar.py) guard.
+Soundness contract, both directions: the screen may only declare a row
+valid (resp. invalid) when the exact validator would — any ambiguity
+(parse surprises, unhandled column types, absent-vs-null when the two
+verdicts differ, numeric magnitude beyond float64's exact-integer range,
+enum corner cases) routes the row (or whole batch) to the dict walk.  The
+invalid mask is only consumed where the caller needs no issue detail; a
+certainly-invalid bit requires a DEFINITIVE keyword failure (wrong-typed
+present value, out-of-range number, length/pattern/enum miss, a required
+field whose null-AND-absent interpretations are both invalid, or a
+required column entirely missing from the parsed batch).  False
+"maybe-invalid"/"maybe-valid" verdicts cost only time; the walk recomputes
+them exactly, including the precise first-failure issue.  Verdict-changing
+bugs are therefore only possible as false-valids or false-invalids, which
+the conformance suite + differential fuzz (tests/test_gate_*) and the
+dedicated screen-vs-walk differentials (tests/test_gate_columnar.py, both
+modes) guard.
 
 Known pyarrow.json behaviors relied on (probed on pyarrow 16, see tests):
   * duplicate keys, mixed-type columns, non-object rows, >double numbers,
@@ -61,10 +70,14 @@ def _is_exact_number(v: Any) -> bool:
 def plan_screen(schema_data: Any) -> dict | None:
     """Compile a screening plan, or None when the schema is not screenable.
 
-    The plan maps property name -> (subschema, null_ok) where null_ok means
-    "a row whose field is null-or-absent is certainly valid" (requires the
-    absent verdict AND the null verdict to both be valid — pyarrow cannot
-    distinguish the two)."""
+    The plan maps property name -> (subschema, null_ok, required,
+    null_invalid) where null_ok means "a row whose field is null-or-absent
+    is certainly valid" (requires the absent verdict AND the null verdict to
+    both be valid — pyarrow cannot distinguish the two); `required` is the
+    absent verdict's invalidity, and `null_invalid` the explicit-null
+    verdict's (null fails a scalar `type` or a None-free enum/const), so
+    `required and null_invalid` symmetrically means "null-or-absent is
+    certainly INVALID"."""
     if not isinstance(schema_data, dict):
         return None
     if set(schema_data) - _ALLOWED_TOP:
@@ -78,7 +91,8 @@ def plan_screen(schema_data: Any) -> dict | None:
     if not isinstance(props, dict):
         return None
 
-    plan: dict[str, tuple[dict, bool]] = {}
+    plan: dict[str, tuple[dict, bool, bool, bool]] = {}
+    req_set = set(req)
     for name, sub in props.items():
         if not isinstance(sub, dict) or (set(sub) - _ALLOWED_KW):
             return None
@@ -109,19 +123,21 @@ def plan_screen(schema_data: Any) -> dict | None:
                         and not _is_exact_number(e):
                     return None
         # null-or-absent verdict: valid only if BOTH interpretations are
-        # valid — not required (absent ok) and null passes every check
-        null_ok = name not in req
-        if t is not None:
-            null_ok = False  # null fails any scalar type
+        # valid — not required (absent ok) and null passes every check;
+        # symmetrically, certainly-invalid only if BOTH are invalid
+        null_invalid = t is not None  # null fails any scalar type
         if allowed is not None and not any(e is None for e in allowed):
-            null_ok = False
-        plan[name] = (sub, null_ok)
+            null_invalid = True
+        null_ok = name not in req_set and not null_invalid
+        plan[name] = (sub, null_ok, name in req_set, null_invalid)
 
     # required fields without a properties entry: absent -> invalid,
     # null -> valid; screening can't tell them apart, so such rows walk
+    # (unless the whole column is missing from the batch: all-absent is
+    # then proven, handled in screen_batch)
     for r in req:
         if r not in plan:
-            plan[r] = ({}, False)
+            plan[r] = ({}, False, True, False)
     return plan
 
 
@@ -129,9 +145,12 @@ def _to_np(arrow_bool) -> np.ndarray:
     return arrow_bool.fill_null(False).to_numpy(zero_copy_only=False)
 
 
-def screen_batch(raws: pd.Series, plan: dict) -> np.ndarray | None:
-    """Boolean certainly-valid mask over the batch, or None when the whole
-    batch must fall back to the dict walk."""
+def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] | None:
+    """(certainly_valid, certainly_invalid) boolean masks over the batch, or
+    None when the whole batch must fall back to the dict walk.  The two
+    masks are disjoint; rows in neither walk.  certainly_invalid carries no
+    issue detail — consume it only where the verdict alone suffices
+    (gate_filter)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from pyarrow import json as pajson
@@ -154,9 +173,10 @@ def screen_batch(raws: pd.Series, plan: dict) -> np.ndarray | None:
         count=n,
     )
     out = np.zeros(n, dtype=bool)
+    inv_out = np.zeros(n, dtype=bool)
     idx = np.flatnonzero(screenable)
     if idx.size == 0:
-        return out
+        return out, inv_out
     try:
         blob = "\n".join(vals[i] for i in idx).encode("utf-8")
         tbl = pajson.read_json(
@@ -175,12 +195,18 @@ def screen_batch(raws: pd.Series, plan: dict) -> np.ndarray | None:
         return None
 
     ok = np.ones(idx.size, dtype=bool)
+    inv = np.zeros(idx.size, dtype=bool)
     names = set(tbl.schema.names)
-    for name, (sub, null_ok) in plan.items():
+    for name, (sub, null_ok, required, null_invalid) in plan.items():
         if name not in names:
-            # no row has the key: all-absent; sound only when null_ok
-            if not null_ok:
-                return None  # (usually a required field: all rows walk)
+            # no row mentions the key at all (an explicit `"k": null` would
+            # have produced a null-typed column, so column absence proves
+            # key absence for every screened row — probed in tests):
+            # required -> every screened row definitively fails `required`;
+            # optional -> absent satisfies the property, no constraint
+            if required:
+                ok[:] = False
+                inv[:] = True
             continue
         arr = tbl.column(name)
         if isinstance(arr, pa.ChunkedArray):
@@ -194,6 +220,10 @@ def screen_batch(raws: pd.Series, plan: dict) -> np.ndarray | None:
         nullm = arr.is_null().to_numpy(zero_copy_only=False)
         if not null_ok:
             ok &= ~nullm
+        if required and null_invalid:
+            # both readings of a null cell (explicit null / absent key) are
+            # invalid under this property -> definitive
+            inv |= nullm
         if pa.types.is_null(t):
             continue
         present = ~nullm
@@ -269,8 +299,14 @@ def screen_batch(raws: pd.Series, plan: dict) -> np.ndarray | None:
                 strs = [e for e in allowed if isinstance(e, str)]
                 bad |= ~_to_np(pc.is_in(arr, value_set=pa.array(strs, t)))
 
+        # every `bad` bit above is a DEFINITIVE keyword failure on a present
+        # value (wrong-typed column, range/length/pattern/enum miss, float
+        # with a fractional part vs `type: integer`) — the same checks the
+        # exact walk runs, just vectorized — so it feeds both masks
         bad &= present
         ok &= ~bad
+        inv |= bad
 
     out[idx] = ok
-    return out
+    inv_out[idx] = inv
+    return out, inv_out

@@ -55,23 +55,47 @@ def _issue_record(x: Any, schema_data: Any) -> dict | None:
     }
 
 
-def _gate_rows(s: pd.Series, schema_data: Any, plan) -> pd.DataFrame:
+# placeholder issue for rows the screen proved invalid without computing
+# the exact first failure — only ever emitted in verdict-only mode, where
+# the caller drops the issue struct (gate_filter)
+_SCREEN_ISSUE = {
+    "path": "",
+    "instance": "",
+    "reason": "screen",
+    "value": "certainly-invalid (columnar screen, verdict-only)",
+}
+
+
+def _gate_rows(
+    s: pd.Series, schema_data: Any, plan, verdict_only: bool = False
+) -> pd.DataFrame:
     """One batch of JSON texts -> issue records.  When the schema has a
     columnar screening plan, the batch is parsed once by pyarrow and rows
-    proven CERTAINLY VALID skip the per-row walk entirely; all remaining
-    rows (and whole batches the screen cannot vouch for) run the exact
-    dict-tree walk — see gate/columnar.py for the soundness contract."""
+    proven CERTAINLY VALID skip the per-row walk entirely; with
+    verdict_only=True (gate_filter: the issue struct is dropped), rows
+    proven CERTAINLY INVALID skip it too, receiving a placeholder issue.
+    All remaining rows (and whole batches the screen cannot vouch for) run
+    the exact dict-tree walk — see gate/columnar.py for the two-sided
+    soundness contract."""
     import numpy as np
 
     from jsonschema_jl_spark.gate.columnar import screen_batch
 
-    certainly_valid = screen_batch(s, plan) if plan is not None else None
+    masks = screen_batch(s, plan) if plan is not None else None
     n = len(s)
     vals = s.to_numpy(dtype=object)
     cols = {f: np.full(n, None, dtype=object) for f in _ISSUE_FIELDS}
-    walk_idx = (
-        range(n) if certainly_valid is None else np.flatnonzero(~certainly_valid)
-    )
+    if masks is None:
+        walk_idx = range(n)
+    else:
+        certainly_valid, certainly_invalid = masks
+        if verdict_only:
+            walk_idx = np.flatnonzero(~(certainly_valid | certainly_invalid))
+            for i in np.flatnonzero(certainly_invalid):
+                for f in _ISSUE_FIELDS:
+                    cols[f][i] = _SCREEN_ISSUE[f]
+        else:
+            walk_idx = np.flatnonzero(~certainly_valid)
     for i in walk_idx:
         raw = vals[i]
         if raw is None:
@@ -92,7 +116,7 @@ def _gate_rows(s: pd.Series, schema_data: Any, plan) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
-def _make_gate_udf(schema_data: Any):
+def _make_gate_udf(schema_data: Any, verdict_only: bool = False):
     """Arrow-batched scalar pandas UDF: JSON text -> issue struct.
 
     The compiled schema dict (and its columnar screening plan, when one
@@ -107,25 +131,30 @@ def _make_gate_udf(schema_data: Any):
     @F.pandas_udf(ISSUE_TYPE)
     def gate_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in batch_iter:
-            yield _gate_rows(s, schema_data, plan)
+            yield _gate_rows(s, schema_data, plan, verdict_only=verdict_only)
 
     return gate_udf
 
 
 def compile_issue_column(
-    df: DataFrame, schema: Schema | dict | bool | str, json_col: str | None = None
+    df: DataFrame,
+    schema: Schema | dict | bool | str,
+    json_col: str | None = None,
+    verdict_only: bool = False,
 ) -> tuple[Column, bool]:
-    """Return (issue Column, used_native)."""
+    """Return (issue Column, used_native).  verdict_only allows the columnar
+    screen to short-circuit certainly-invalid rows with a placeholder issue
+    (callers that drop the issue struct, i.e. gate_filter)."""
     if not isinstance(schema, Schema):
         schema = Schema(schema)
     if json_col is not None:
-        udf = _make_gate_udf(schema.data)
+        udf = _make_gate_udf(schema.data, verdict_only=verdict_only)
         return udf(F.col(json_col)), False
     try:
         checks = compile_native_checks(schema, df.schema)
         return checks_to_issue_column(checks), True
     except NotNativelyCompilable:
-        udf = _make_gate_udf(schema.data)
+        udf = _make_gate_udf(schema.data, verdict_only=verdict_only)
         return udf(F.to_json(F.struct(*[F.col(c) for c in df.columns]))), False
 
 
@@ -135,9 +164,12 @@ def apply_gate(
     json_col: str | None = None,
     issue_col: str = "issue",
     valid_col: str = "isvalid",
+    _verdict_only: bool = False,
 ) -> DataFrame:
     """Annotate every row with its first validation issue (or NULL)."""
-    issue, used_native = compile_issue_column(df, schema, json_col)
+    issue, used_native = compile_issue_column(
+        df, schema, json_col, verdict_only=_verdict_only
+    )
     if not used_native:
         # UDF returns a struct of NULL fields for valid rows; normalize to a
         # truly-NULL struct so `issue IS NULL` <=> valid (SURVEY §1.2)
@@ -170,5 +202,8 @@ def gate_filter(
             pre = necessary_condition(schema, df.schema)
             if pre is not None:
                 df = df.filter(pre)
-    gated = apply_gate(df, schema, json_col=json_col, issue_col="__issue", valid_col="__ok")
+    gated = apply_gate(
+        df, schema, json_col=json_col, issue_col="__issue", valid_col="__ok",
+        _verdict_only=True,  # issue struct dropped below: the columnar
+    )                        # screen may fast-reject certainly-invalid rows
     return gated.filter(F.col("__ok")).drop("__issue", "__ok")

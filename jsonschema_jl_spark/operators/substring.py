@@ -20,6 +20,8 @@ Two implementations of "caption A is an exact substring of caption B":
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -115,7 +117,7 @@ def suffix_array_containment(
     id_col: str = "image_id",
     text_col: str = "caption",
     cfg: DedupConfig = DEFAULT_CONFIG,
-    num_ranges: int = 8,
+    num_ranges: int | None = None,
     max_contained_len: int | None = None,
 ) -> DataFrame:
     """Reference-style distributed suffix-array pass.
@@ -133,21 +135,30 @@ def suffix_array_containment(
     longest probe), so exploded byte volume is O(total_chars * C) instead of
     the O(total_chars^2) of full suffixes, and suffix rows carry the
     container's LENGTH, not its text; suffixes shorter than
-    cfg.min_contained_len cannot contain any probe and are dropped.  With
-    max_contained_len=None the cap is computed from the data (one scalar
-    agg); an explicit cap restricts the contained side to captions of at
-    most that length (choose >= data max for exact parity with
-    `containment_pairs`)."""
+    cfg.min_contained_len cannot contain any probe and are dropped.  The cap
+    defaults to cfg.max_contained_len — a CONFIG constant, not a driver agg
+    over the data, so one pathological 1 MB document can never inflate the
+    explode for the whole corpus (it is simply not eligible as the contained
+    side; choose a cap >= the data's max text length for exact parity with
+    `containment_pairs`, as the contract queries do).
+
+    Parallelism: with num_ranges=None the range count scales with the input
+    (ceil(rows / docs_per_range), docs_per_range itself shrinking as the cap
+    grows since exploded bytes are ~rows * avg_len * cap), clamped to
+    [8, 4096] — one metadata-cheap count(), no data collect()."""
     g = cfg.anchor_gram
+    cap = int(max_contained_len if max_contained_len is not None else cfg.max_contained_len)
     base = df.select(
         F.col(id_col).alias("id"), normalize_udf(F.col(text_col)).alias("txt")
     ).filter(F.length("txt") >= cfg.min_contained_len)
 
-    if max_contained_len is None:
-        max_contained_len = int(
-            base.agg(F.max(F.length("txt"))).collect()[0][0] or cfg.min_contained_len
-        )
-    cap = max_contained_len
+    if num_ranges is None:
+        # ~6.4 GB of exploded (truncated) suffix bytes per range at
+        # avg_len~300: docs_per_range * avg_len * cap; the constant keeps a
+        # 50k-doc corpus at cap=128 in 8 ranges and a 10M-doc corpus at
+        # cap=1024 in ~1280
+        docs_per_range = max(2_000, (50_000 * 128) // max(cap, 1))
+        num_ranges = int(min(4096, max(8, math.ceil(df.count() / docs_per_range))))
 
     suffixes = (
         base.select(

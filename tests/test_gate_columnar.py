@@ -61,7 +61,7 @@ def test_plan_ineligible_or_required_walks(schema):
         return
     # plans that exist must still never screen-valid a row whose verdict
     # depends on absent-vs-null (covered by the soundness test below)
-    assert all(not null_ok for _, null_ok in plan.values()) or True
+    assert all(not entry[1] for entry in plan.values()) or True
 
 
 # per-JSON-type value pools: a batch picks ONE pool per field (pyarrow
@@ -134,13 +134,18 @@ def test_screen_soundness(schema):
     for seed in range(30):
         rng = random.Random(7000 + seed)
         s = pd.Series(_random_rows(rng, 80), dtype=object)
-        mask = screen_batch(s, plan)
-        if mask is None:
+        masks = screen_batch(s, plan)
+        if masks is None:
             continue
         engaged += 1
-        for i in np.flatnonzero(mask):
+        valid, invalid = masks
+        assert not (valid & invalid).any()  # masks are disjoint by contract
+        for i in np.flatnonzero(valid):
             assert _issue_record(json.loads(s.iloc[i]), data) is None, s.iloc[i]
             hits += 1
+        # the symmetric direction: every certainly-invalid row IS invalid
+        for i in np.flatnonzero(invalid):
+            assert _issue_record(json.loads(s.iloc[i]), data) is not None, s.iloc[i]
     assert engaged >= 10  # most homogeneous batches engage the screen
     # crafted all-valid rows: the screen must certify them (hits floor)
     crafted = pd.Series(
@@ -151,18 +156,79 @@ def test_screen_soundness(schema):
         ],
         dtype=object,
     )
-    mask = screen_batch(crafted, plan)
-    assert mask is not None and mask.all()
+    masks = screen_batch(crafted, plan)
+    assert masks is not None and masks[0].all() and not masks[1].any()
     for raw in crafted:
         assert _issue_record(json.loads(raw), data) is None
 
 
 def test_screen_fast_path_hits_bench_shape():
-    """The bench/contract events schema should screen ~all valid rows."""
+    """The bench/contract events schema should screen ~all rows — valid
+    ones into the valid mask, out-of-range ones into the invalid mask."""
     data = Schema(FLAT).data
     plan = plan_screen(data)
     rows = [json.dumps({"k": k, "pad": "x" * 10}) for k in range(0, 120)]
     s = pd.Series(rows, dtype=object)
-    mask = screen_batch(s, plan)
-    assert mask is not None
-    assert mask.sum() == sum(1 for k in range(0, 120) if 10 <= k <= 90)
+    masks = screen_batch(s, plan)
+    assert masks is not None
+    valid, invalid = masks
+    n_valid = sum(1 for k in range(0, 120) if 10 <= k <= 90)
+    assert valid.sum() == n_valid
+    assert invalid.sum() == 120 - n_valid  # every rejected row fast-rejects
+
+
+@pytest.mark.parametrize("schema", [FLAT, RICH])
+def test_screen_verdict_only_differential(schema):
+    """verdict-only mode (gate_filter): isvalid verdicts must match the
+    exact walk row-for-row; issue DETAIL may differ (placeholder) but
+    issue NULLness may not."""
+    data = Schema(schema).data
+    plan = plan_screen(data)
+    for seed in range(20):
+        rng = random.Random(3000 + seed)
+        s = pd.Series(_random_rows(rng, 80, adversarial=(seed % 2 == 0)), dtype=object)
+        fast = _gate_rows(s, data, plan, verdict_only=True)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_series_equal(
+            fast["reason"].isna(), slow["reason"].isna()
+        )
+
+
+def test_screen_missing_required_column_fast_rejects():
+    """A batch where NO row carries a required key: column absence proves
+    key absence, so every screened row is certainly invalid."""
+    plan = plan_screen(Schema(FLAT).data)  # requires "k"
+    s = pd.Series([json.dumps({"other": i}) for i in range(16)], dtype=object)
+    masks = screen_batch(s, plan)
+    assert masks is not None
+    assert not masks[0].any() and masks[1].all()
+    # exact walk agrees
+    data = Schema(FLAT).data
+    for raw in s:
+        assert _issue_record(json.loads(raw), data) is not None
+
+
+def test_screen_missing_optional_column_still_screens():
+    """An optional type-constrained property entirely absent from the batch
+    must not force a fallback: absence is proven by column absence."""
+    schema = {"properties": {"opt": {"type": "integer"}},
+              "required": ["k"], "type": "object"}
+    plan = plan_screen(Schema(schema).data)
+    assert plan is not None
+    s = pd.Series([json.dumps({"k": i}) for i in range(8)], dtype=object)
+    masks = screen_batch(s, plan)
+    assert masks is not None and masks[0].all()
+
+
+def test_pyarrow_null_column_probe():
+    """The missing-column fast-reject relies on: an explicit `"k": null`
+    yields a null-typed COLUMN (not column absence).  Probe the behavior
+    the screen depends on so a pyarrow upgrade that changes it fails
+    loudly here rather than as a silent verdict bug."""
+    import io
+    from pyarrow import json as pajson
+
+    tbl = pajson.read_json(io.BytesIO(b'{"a": 1, "b": null}\n{"a": 2}'))
+    assert "b" in tbl.schema.names  # explicit null keeps the column
+    tbl2 = pajson.read_json(io.BytesIO(b'{"a": 1}\n{"a": 2}'))
+    assert "b" not in tbl2.schema.names  # truly absent key -> no column
