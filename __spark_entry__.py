@@ -4,9 +4,9 @@ entry()    — flagship: gate -> MinHash/LSH -> verify -> phash -> containment
              -> connected components over an images table derived from the
              sf0.001 documents parquet (input_hint shape) with planted dups.
 queries()  — one entry per implemented operator (SURVEY.md §2 / §2.11).
-oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
-The ONLY rows-only entry is doc_minhash_signatures (signature values depend
-on engine-private hash permutations; the row is a stable xxhash64 digest).
+oracle_sql() — DuckDB-equivalent SQL for EVERY query (zero rows-only rows:
+even the MinHash signatures are value-checked, via a DuckDB re-derivation
+of the complete OPH math in mod-2^64 SQL arithmetic — see _oph_oracle_sql).
 Everything else is value-checked against DuckDB — including the full image
 dedup clustering (exact all-pairs detector mirror + recursive-CTE connected
 components), the PNG decode stats (payloads are deterministic functions of
@@ -547,20 +547,32 @@ def q_images_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIG_MOD = (1 << 61) - 1  # Mersenne modulus for the signature checksum
+
+
 def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: signature values depend on engine-private permutations.
-    # The raw array<long> column is reduced to a scalar xxhash64 digest so the
-    # driver's canonicalization (pandas sort/factorize) can handle the rows —
-    # the digest changes iff any signature slot changes, so it is exactly as
-    # strong a regression check as the array itself.
+    """Value-checked MinHash signatures: DuckDB recomputes the ENTIRE OPH
+    math (poly rolling hash -> splitmix64 -> top-bit bins -> per-bin min ->
+    rotation densification) in pure mod-2^64 SQL arithmetic (_OPH_ORACLE_SQL
+    below).  Emitted per row: minhash0 (= densified bin 0: the band
+    interleave in minhash.py:227 maps signature slot 0 to bin 0) checks one
+    slot bit-exactly; sig_modsum folds ALL 128 slots mod 2^61-1, so any
+    slot changing is caught with probability 1 - 2^-61.  The signature
+    values are signed-int64 reinterpretations of engine uint64s, hence the
+    unsigned-residue arithmetic in the aggregate below."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     sigs = with_signatures(d, text_col="text", cfg=CFG)
+    m = _SIG_MOD
     return sigs.select(
         "doc_id",
         F.size("minhash").alias("sig_len"),
-        F.xxhash64(
-            F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
-        ).alias("sig_digest"),
+        F.element_at("minhash", 1).alias("minhash0"),
+        # unsigned residue of each slot: uint64(x) % m == (pmod(x, m) +
+        # (2^64 % m when x reinterprets negative)) % m, with 2^64 % m == 8
+        F.expr(
+            f"aggregate(minhash, CAST(0 AS BIGINT), (acc, x) -> "
+            f"CAST((acc + (pmod(x, {m}) + IF(x < 0, 8, 0)) % {m}) % {m} AS BIGINT))"
+        ).alias("sig_modsum"),
     )
 
 
@@ -814,6 +826,81 @@ SELECT n_members, count(*) AS n_clusters FROM csize GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# doc_minhash_signatures oracle: the FULL OPH signature math in pure DuckDB
+# mod-2^64 arithmetic, mirroring operators/minhash.py bit for bit:
+#   poly rolling hash (minhash.py:29,74-75: h = sum byte[t]*B^t mod 2^64,
+#   sub-k texts zero-padded to one window)  ->  xor seed, splitmix64 mix
+#   (minhash.py:162-166,192)  ->  bin = top-7 bits, val = splitmix(mixed)>>1
+#   (minhash.py:193-194)  ->  per-(doc,bin) min  ->  rotation densification
+#   (empty bin j borrows nearest filled bin at-or-right cyclic, +0x9E37/hop,
+#   minhash.py:208-219).  Band interleave (minhash.py:227) maps signature
+#   slot 0 to bin 0, so minhash0 = densified bin 0.  uint64s are carried as
+#   UBIGINT; multiplications split the constant into 32-bit halves because
+#   a full 64x64 product overflows INT128.
+# ---------------------------------------------------------------------------
+_U64 = 1 << 64
+_OPH_POWS = [pow(1099511628211, t, _U64) for t in range(5)]  # B^t mod 2^64
+
+
+def _sql_mulc(a: str, c: int) -> str:
+    """`a * c mod 2^64` for a UBIGINT expression and a uint64 constant."""
+    bh, bl = c >> 32, c & 0xFFFFFFFF
+    if not bh:
+        return f"((({a})::HUGEINT * {bl}) % {_U64})::UBIGINT"
+    return (
+        f"((({a})::HUGEINT * {bl} + (((({a}) % 4294967296)::HUGEINT * {bh})"
+        f" % 4294967296) * 4294967296) % {_U64})::UBIGINT"
+    )
+
+
+def _sql_splitmix(incol: str, pre: str, src: str) -> str:
+    """CTE chain computing splitmix64({incol}) as column {pre}_v."""
+    return f"""
+{pre}_a AS (SELECT *, ((({incol})::HUGEINT + 11400714819323198485) % {_U64})::UBIGINT AS {pre}_z1 FROM {src}),
+{pre}_b AS (SELECT *, {_sql_mulc(f"xor({pre}_z1, {pre}_z1 >> 30)", 0xBF58476D1CE4E5B9)} AS {pre}_z2 FROM {pre}_a),
+{pre}_c AS (SELECT *, {_sql_mulc(f"xor({pre}_z2, {pre}_z2 >> 27)", 0x94D049BB133111EB)} AS {pre}_z3 FROM {pre}_b),
+{pre}_o AS (SELECT *, xor({pre}_z3, {pre}_z3 >> 31) AS {pre}_v FROM {pre}_c)"""
+
+
+def _oph_oracle_sql() -> str:
+    # zero-padded byte t of window w (code points == UTF-8 bytes: corpus is
+    # ASCII, asserted by the engine-side normalize being lower/trim-stable)
+    def code(t: int) -> str:
+        return f"(CASE WHEN length(w) > {t} THEN unicode(substr(w, {t + 1}, 1)) ELSE 0 END)"
+
+    hexpr = " + ".join(f"{code(t)}::HUGEINT * {_OPH_POWS[t]}::HUGEINT" for t in range(5))
+    m = _SIG_MOD
+    return f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+win AS (SELECT doc_id, unnest([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 2))]) AS w FROM n),
+h AS (SELECT doc_id, xor((({hexpr}) % {_U64})::UBIGINT, {CFG.minhash_seed}::UBIGINT) AS z FROM win),
+{_sql_splitmix('z', 'mx', 'h')},
+{_sql_splitmix('mx_v', 'vv', 'mx_o')},
+shing AS (SELECT doc_id, (mx_v >> 57)::BIGINT AS bin, (vv_v >> 1) AS val FROM vv_o),
+bins AS (SELECT doc_id, bin, min(val) AS mv FROM shing GROUP BY 1, 2),
+grid AS (SELECT doc_id, unnest(range(128)) AS j FROM n),
+nx AS (
+  SELECT g.doc_id, g.j,
+         coalesce(min(b.bin) FILTER (WHERE b.bin >= g.j), min(b.bin) + 128) AS nxt
+  FROM grid g JOIN bins b ON b.doc_id = g.doc_id
+  GROUP BY 1, 2
+),
+dens AS (
+  SELECT nx.doc_id, nx.j,
+         (b.mv + (nx.nxt - nx.j)::UBIGINT * 40503::UBIGINT) AS dv
+  FROM nx JOIN bins b ON b.doc_id = nx.doc_id AND b.bin = nx.nxt % 128
+)
+SELECT doc_id,
+       128 AS sig_len,
+       max(CASE WHEN j = 0 THEN
+            CASE WHEN dv >= 9223372036854775808::UBIGINT
+                 THEN (dv::HUGEINT - {_U64})::BIGINT ELSE dv::BIGINT END END) AS minhash0,
+       (sum(dv::HUGEINT % {m}) % {m})::BIGINT AS sig_modsum
+FROM dens GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "gate_events_dynamic": """
@@ -991,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
                  END::BIGINT AS n_shingles
           FROM n
         """,
+        "doc_minhash_signatures": _oph_oracle_sql(),
         "doc_ngram_pairs": f"""
           {_NGRAM_GRAMS}
           SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared_ngrams

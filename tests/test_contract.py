@@ -23,6 +23,7 @@ SUBSET = [
     "gate_events_dynamic",
     "doc_exact_dedup",
     "doc_simhash",
+    "doc_minhash_signatures",
     "emb_cosine_topk",
     "images_frame_sample",
     "audio_features",
@@ -52,9 +53,9 @@ def test_every_query_has_callable_and_sql(entry_mod):
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
     assert set(osql) <= set(qs), "oracle_sql keys must be a subset of queries"
-    # rows-only rows are deliberate and enumerated; anything new must
-    # either ship an oracle or be added here with a reason
-    assert set(qs) - set(osql) == {"doc_minhash_signatures"}
+    # every query is value-checked: anything new must ship an oracle or be
+    # enumerated here with a reason (currently: none)
+    assert set(qs) - set(osql) == set()
 
 
 @pytest.mark.parametrize("name", SUBSET)
