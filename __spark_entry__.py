@@ -410,6 +410,70 @@ def q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("component"))
 
 
+def q_doc_components_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P11 alternate path: the large-star/small-star CC (the scale
+    # implementation for adversarial graph shapes) over the SAME edge set
+    # and recursive-CTE oracle as doc_components — contract-level proof the
+    # two implementations converge to identical min-label assignments
+    from jsonschema_jl_spark.operators.components import connected_components_twophase
+
+    d = _docs(spark, sf_dir)
+    edges = (
+        ngram_token_pairs(d, n=3, anchor_cap=200)
+        .filter(F.col("shared_ngrams") >= 3)
+        .select("src", "dst")
+    )
+    labels = connected_components_twophase(edges, vertices=d.select("doc_id"))
+    return labels.select(F.col("id").alias("doc_id"), F.col("component"))
+
+
+_HOT_CAPTION = (
+    "planted hot caption: one ubiquitous string shared by every fifth "
+    "document so a single lsh bucket overflows the cap in every band"
+)
+
+
+def q_doc_skew_salted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 salt-grid skew path at contract level: every 5th doc carries ONE
+    identical caption (100+ copies at sf>=0.01 — far above bucket_cap=64,
+    so plain capping would DROP the whole hot bucket), the rest carry
+    md5-derived texts that are pairwise near-orthogonal (J ~ 0.01).  The
+    pipeline is signatures -> banding -> salted_candidate_pairs (shards the
+    hot bucket across a salt grid instead of capping) -> exact Jaccard
+    verify.  The oracle is the closed-form truth: exactly the hot-doc
+    pairs.  Passing proves (a) the salt grid loses NO hot pairs where the
+    capped path loses all of them, and (b) the verify kills every spurious
+    band collision among the md5 texts."""
+    from jsonschema_jl_spark.operators.lsh import band_buckets, salted_candidate_pairs
+    from jsonschema_jl_spark.operators.verify import verify_jaccard_text
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_HOT_CAPTION))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.md5(did),
+                F.md5(F.concat(did, F.lit("x"))),
+                F.md5(F.concat(did, F.lit("y"))),
+            )
+        )
+        .alias("txt"),
+    )
+    sigs = with_signatures(
+        corpus, text_col="txt", cfg=CFG, keep_shingles=False, assume_normalized=True
+    )
+    buckets = band_buckets(sigs, id_col="doc_id", sig_col="minhash", cfg=CFG)
+    pairs = salted_candidate_pairs(buckets, cfg=CFG, num_salts=4)
+    verified = verify_jaccard_text(
+        pairs, corpus, id_col="doc_id", text_col="txt", cfg=CFG, assume_normalized=True
+    )
+    return verified.select(F.col("src").cast("long").alias("src"),
+                           F.col("dst").cast("long").alias("dst"))
+
+
 def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents plus deterministic derived snippets (substr of every 7th
     normalized doc) so exact-substring containment has planted positives."""
@@ -701,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_pairs": q_doc_ngram_pairs,
         "doc_hamming_pairs": q_doc_hamming_pairs,
         "doc_components": q_doc_components,
+        "doc_components_twophase": q_doc_components_twophase,
+        "doc_skew_salted_pairs": q_doc_skew_salted_pairs,
         "doc_containment": q_doc_containment,
         "doc_containment_sa": q_doc_containment_sa,
         "emb_cosine_topk": q_emb_cosine_topk,
@@ -902,6 +968,12 @@ FROM dens GROUP BY doc_id
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    d["doc_components_twophase"] = d["doc_components"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "gate_events_dynamic": """
           SELECT event_id,
@@ -1111,6 +1183,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
           FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
           GROUP BY d.doc_id
+        """,
+        # doc_components_twophase: same SQL as doc_components (patched in
+        # oracle_sql() above — the twophase implementation must land on the
+        # identical min-label assignment)
+        "doc_skew_salted_pairs": """
+          WITH hot AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM hot a JOIN hot b ON a.doc_id < b.doc_id
         """,
         "doc_containment": f"""
           WITH n AS (SELECT doc_id, {_NORM_SQL} AS txt FROM documents),

@@ -143,7 +143,14 @@ def salted_candidate_pairs(
             right,
             (F.col("bucket") == F.col("bucket_r")) & (F.col("sj") == F.col("salt_r")),
         )
-        .filter(F.col("id") < F.col("id_r"))
-        .select(F.col("id").alias("src"), F.col("id_r").alias("dst"))
+        # canonicalize with least/greatest, NOT `id < id_r`: the grid visits
+        # each unordered salt pair once (si <= sj), so a pair whose smaller
+        # id carries the LARGER salt only ever appears as (id > id_r) — an
+        # id-order filter would silently drop ~half the cross-salt pairs
+        # (caught by the doc_skew_salted_pairs contract oracle)
+        .filter(F.col("id") != F.col("id_r"))
+        .select(
+            F.least("id", "id_r").alias("src"), F.greatest("id", "id_r").alias("dst")
+        )
     )
     return cold_pairs.unionByName(hot_pairs).dropDuplicates(["src", "dst"])

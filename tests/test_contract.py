@@ -24,6 +24,7 @@ SUBSET = [
     "doc_exact_dedup",
     "doc_simhash",
     "doc_minhash_signatures",
+    "doc_skew_salted_pairs",
     "emb_cosine_topk",
     "images_frame_sample",
     "audio_features",

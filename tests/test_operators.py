@@ -200,6 +200,8 @@ def test_ivf_topk_recall(spark):
 # ---------------------------------------------------------------------------
 
 def test_salted_pairs_equal_capped_union(spark):
+    import dataclasses
+
     images = generate_images(spark, 400, CFG, with_bytes=False, with_malformed=False)
     sigs = with_signatures(images.select("image_id", "caption", "phash"), cfg=CFG)
     buckets = band_buckets(sigs, cfg=CFG).persist()
@@ -207,6 +209,14 @@ def test_salted_pairs_equal_capped_union(spark):
     salted = {(r.src, r.dst) for r in salted_candidate_pairs(buckets, CFG, num_salts=4).collect()}
     # salting must find at least everything capping finds (it drops nothing)
     assert plain <= salted
+    # ...and must equal the EXACT uncapped pair set: an uncappable config
+    # (cap > any bucket) routes everything down the plain path, giving the
+    # ground truth.  A subset check alone cannot catch salt-grid pair loss
+    # (the id<id_r regression dropped ~half the cross-salt hot pairs while
+    # still passing `plain <= salted`).
+    uncapped_cfg = dataclasses.replace(CFG, bucket_cap=1_000_000)
+    exact = {(r.src, r.dst) for r in candidate_pairs(buckets, uncapped_cfg).collect()}
+    assert salted == exact
     buckets.unpersist()
 
 
