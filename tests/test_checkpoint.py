@@ -74,6 +74,73 @@ def test_bucketing_is_deterministic(spark, images, tmp_path):
     assert df.select("image_id").distinct().count() == N
 
 
+class _KillingCkpt(CheckpointManager):
+    """CheckpointManager that dies after `fail_after` buckets of
+    `fail_stage` finish — a faithful mid-stage kill: the manifest on disk
+    records exactly the buckets whose parquet committed before the crash."""
+
+    def __init__(self, *args, fail_stage: str, fail_after: int, **kw):
+        super().__init__(*args, **kw)
+        self._fail_stage, self._fail_after = fail_stage, fail_after
+
+    def _write_manifest(self, stage: str, manifest: dict) -> None:
+        super()._write_manifest(stage, manifest)
+        if stage == self._fail_stage:
+            done = sum(1 for v in manifest["buckets"].values() if v.get("done"))
+            if done >= self._fail_after:
+                raise RuntimeError("simulated mid-stage kill")
+
+
+def test_resume_after_midstage_kill_sf001_corpus(spark):
+    """North-rule resume evidence at the sf0.01 corpus (input_hint-shaped
+    images derived from the driver documents parquet): kill the run midway
+    through the edges stage, resume with a fresh manager, and require
+    (a) identical cluster partition to the direct non-checkpointed
+    pipeline, (b) the completed signatures stage untouched by the resume,
+    (c) the edge buckets that committed before the kill skipped (their
+    manifest entries byte-identical)."""
+    import tempfile
+    from collections import defaultdict
+
+    from jsonschema_jl_spark.datagen.from_documents import images_from_documents
+    from jsonschema_jl_spark.io.checkpoint import resumable_pipeline
+    from jsonschema_jl_spark.operators.pipeline import dedup_pipeline
+
+    images = images_from_documents(spark, "/root/testdata/sf0.01").persist()
+    images.count()
+    with tempfile.TemporaryDirectory() as root:
+        killing = _KillingCkpt(
+            root, CFG, input_desc="sf0.01", fail_stage="edges", fail_after=2
+        )
+        with pytest.raises(RuntimeError, match="mid-stage kill"):
+            resumable_pipeline(spark, images, killing, CFG, n_buckets=NB)
+
+        ckpt = CheckpointManager(root, CFG, input_desc="sf0.01")
+        assert ckpt.stage_complete("signatures", NB)
+        edges_before = ckpt.read_manifest("edges")["buckets"]
+        assert sum(1 for v in edges_before.values() if v.get("done")) == 2
+        sig_manifest = ckpt.read_manifest("signatures")
+
+        labels = resumable_pipeline(spark, images, ckpt, CFG, n_buckets=NB)
+
+        def partition(rows):
+            comp = defaultdict(set)
+            for r in rows:
+                comp[r.component].add(r.image_id)
+            return {frozenset(v) for v in comp.values()}
+
+        direct = dedup_pipeline(images, CFG, collect_metrics=False)
+        assert partition(labels.collect()) == partition(direct.labels.collect())
+        direct.cleanup()
+        # completed stages/buckets were skipped, not recomputed
+        assert ckpt.read_manifest("signatures") == sig_manifest
+        edges_after = ckpt.read_manifest("edges")["buckets"]
+        for b, v in edges_before.items():
+            if v.get("done"):
+                assert edges_after[b] == v
+    images.unpersist()
+
+
 def test_resumable_pipeline_matches_direct_and_resumes(spark, tmp_path):
     from collections import defaultdict
 
