@@ -72,3 +72,22 @@ def test_random_graph(spark):
 def test_no_edges(spark):
     vertices = ["a", "b", "c"]
     _check(spark, [], vertices)
+
+
+def test_convergence_signature_distinguishes(spark):
+    """The twophase convergence signature (count, bit_xor of full xxhash64)
+    must separate distinct same-size edge sets — the retired
+    `sum(hash % 1_000_003)` form threw away most hash bits."""
+    from pyspark.sql import functions as F
+
+    def sig(rows):
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = df.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(a, b))").alias("h")
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    s1 = sig([("a", "b"), ("c", "d")])
+    s2 = sig([("a", "b"), ("c", "e")])
+    assert s1 != s2          # same count, different edges -> different hash
+    assert s1 == sig([("c", "d"), ("a", "b")])  # order-insensitive
