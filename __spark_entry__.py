@@ -1288,17 +1288,19 @@ def _oracle_sql_dict() -> dict[str, str]:
         "images_dedup_clusters": _IMAGES_CLUSTERS_SQL,
         # images_from_documents payloads: real PNG iff the BASE doc has
         # fmt=png (doc_id % 3 == 0), real baseline JPEG iff fmt=jpeg
-        # (doc_id % 3 == 1, pure-numpy codec); dup/malformed rows copy base
-        # bytes, so decode_ok is a pure function of the base doc_id, and
-        # decoded dims equal the stated w/h (codecs encode at exactly that
-        # size; the JPEG decoder crops its 8x8 padding back).
+        # (doc_id % 3 == 1, pure-numpy codec), real lossless-WebP VP8L iff
+        # fmt=webp (doc_id % 3 == 2) EXCEPT the lossy-VP8 stub sub-lane
+        # (doc_id % 9 == 2, decoder refuses: libwebp absent); dup/malformed
+        # rows copy base bytes, so decode_ok is a pure function of the base
+        # doc_id, and decoded dims equal the stated w/h (codecs encode at
+        # exactly that size; the JPEG decoder crops its 8x8 padding back).
         "images_features": """
           WITH base AS (
             SELECT doc_id,
                    CAST(32 + doc_id % 33 AS INT) AS w,
                    CAST(32 + (doc_id * 7) % 33 AS INT) AS h,
                    (['png','jpeg','webp'])[CAST(doc_id % 3 AS INT) + 1] AS fmt,
-                   doc_id % 3 < 2 AS ok
+                   doc_id % 9 <> 2 AS ok
             FROM documents),
           imgs AS (
             SELECT w, h, fmt, ok FROM base

@@ -39,7 +39,7 @@ from jsonschema_jl_spark.operators.minhash import with_signatures
 
 CFG = DedupConfig()
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-DATAGEN_V = 3  # bump to invalidate cached input (v3: real jpeg-lane payloads)
+DATAGEN_V = 4  # bump to invalidate cached input (v4: real VP8L webp-lane payloads)
 
 
 def sf_from_dir(sf_dir: str) -> float:

@@ -3,15 +3,18 @@ parquet: captions are real testdata text, with deterministically planted
 duplicate rows and malformed gate rows appended — the flagship entry input.
 
 The binary `bytes` column carries REAL payloads: rows whose base doc has
-fmt=png (doc_id % 3 == 0) get an actual PNG and fmt=jpeg rows
-(doc_id % 3 == 1) a real baseline JPEG (deterministic gradient pixels of
-exactly the stated w x h, encoded by the same pure-python codecs the P14
-decode path reads back), so `entry()` and `images_features` exercise both
-the lossless and the lossy decode kernels end-to-end.  webp rows get a
-deterministic non-codec stub (honestly stubbed — operators/multimodal.py),
-and dup/malformed derivations copy their base row's bytes, so decode
-success is a pure function of the BASE doc_id — mirrored exactly by the
-DuckDB oracle in __spark_entry__.py.
+fmt=png (doc_id % 3 == 0) get an actual PNG, fmt=jpeg rows
+(doc_id % 3 == 1) a real baseline JPEG, and fmt=webp rows (doc_id % 3 == 2)
+a real lossless-WebP VP8L stream (deterministic gradient pixels of exactly
+the stated w x h, encoded by the same pure-python codecs the P14 decode
+path reads back), so `entry()` and `images_features` exercise the
+lossless, lossy, and VP8L decode kernels end-to-end.  One webp sub-lane
+(doc_id % 9 == 2) instead carries a lossy-VP8 RIFF container, which the
+decoder honestly refuses (NotImplementedError — libwebp is not in this
+container), keeping per-row decode-failure isolation exercised in the
+contract.  Dup/malformed derivations copy their base row's bytes, so
+decode success is a pure function of the BASE doc_id — mirrored exactly by
+the DuckDB oracle in __spark_entry__.py.
 """
 
 from __future__ import annotations
@@ -27,27 +30,44 @@ from jsonschema_jl_spark.operators.multimodal import png_encode
 @F.pandas_udf(T.BinaryType())
 def _payload_udf(seed: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
     """Deterministic per-row payload: real PNG when seed % 3 == 0 (the png
-    fmt lane), real baseline JPEG when seed % 3 == 1 (the jpeg lane, pure-
-    numpy codec at quality 98 so decoded-pixel PSNR >= 40 dB holds), else a
-    small non-codec stub (webp lane — honestly stubbed).  Pixels are a
-    gradient keyed by the seed so every image is distinct and exactly
-    (h, w, 3)."""
+    fmt lane), real baseline JPEG when seed % 3 == 1 (quality 98 so
+    decoded-pixel PSNR >= 40 dB holds), real lossless-WebP VP8L when
+    seed % 3 == 2 — except the seed % 9 == 2 sub-lane, which carries a
+    lossy-VP8 RIFF container the decoder honestly refuses
+    (NotImplementedError: libwebp absent).  Pixels are a gradient keyed by
+    the seed so every image is distinct and exactly (h, w, 3)."""
+    import struct as _struct
+
     from jsonschema_jl_spark.operators.jpeg import jpeg_encode
+    from jsonschema_jl_spark.operators.vp8l import webp_encode
 
     out = []
     for s, ww, hh in zip(seed, w, h):
         s, ww, hh = int(s), int(ww), int(hh)
         lane = s % 3
-        if lane < 2:
-            gx = np.arange(ww, dtype=np.int64)[None, :]
-            gy = np.arange(hh, dtype=np.int64)[:, None]
-            px = np.empty((hh, ww, 3), dtype=np.uint8)
-            px[..., 0] = (gx + s) % 256
-            px[..., 1] = gy % 256
-            px[..., 2] = (gx + gy) % 256
-            out.append(png_encode(px) if lane == 0 else jpeg_encode(px, quality=98))
+        if lane == 2 and s % 9 == 2:
+            payload = b"\x00" * 10  # VP8 bitstream bytes, never parsed
+            out.append(
+                b"RIFF"
+                + _struct.pack("<I", 12 + len(payload))
+                + b"WEBP"
+                + b"VP8 "
+                + _struct.pack("<I", len(payload))
+                + payload
+            )
+            continue
+        gx = np.arange(ww, dtype=np.int64)[None, :]
+        gy = np.arange(hh, dtype=np.int64)[:, None]
+        px = np.empty((hh, ww, 3), dtype=np.uint8)
+        px[..., 0] = (gx + s) % 256
+        px[..., 1] = gy % 256
+        px[..., 2] = (gx + gy) % 256
+        if lane == 0:
+            out.append(png_encode(px))
+        elif lane == 1:
+            out.append(jpeg_encode(px, quality=98))
         else:
-            out.append(b"stub:" + str(s).encode())
+            out.append(webp_encode(px))
     return pd.Series(out)
 
 

@@ -149,13 +149,17 @@ def _pixels_for(i: int, w: int, h: int) -> np.ndarray:
 def _encode_for(i: int, w: int, h: int, fmt: str) -> bytes:
     """Real payload per fmt lane: lossless PNG, lossy baseline JPEG at
     quality 98 (decoded-pixel PSNR >= 40 dB vs source, the BASELINE.json:15
-    lossy invariant); webp has no in-container codec, so that lane carries
-    PNG bytes (decode_image sniffs signatures, so the bytes still decode)."""
+    lossy invariant), and real lossless WebP via the pure-numpy VP8L codec
+    (decoded pixels bit-exact)."""
     px = _pixels_for(i, w, h)
     if fmt == "jpeg":
         from jsonschema_jl_spark.operators.jpeg import jpeg_encode
 
         return jpeg_encode(px, quality=98)
+    if fmt == "webp":
+        from jsonschema_jl_spark.operators.vp8l import webp_encode
+
+        return webp_encode(px)
     return png_encode(px)
 
 

@@ -1,14 +1,15 @@
 """Multimodal (image) column plumbing: opaque binary + typed metadata,
 decode/feature kernels as Arrow-batched pandas UDFs (P14 + training-data ops).
 
-A minimal pure-stdlib PNG codec (zlib + struct, 8-bit RGB, filter 0) and a
-pure-numpy baseline JPEG codec (operators/jpeg.py) make the `bytes` column
-REAL: datagen encodes actual pixels (lossless png lane, lossy jpeg lane),
-and the per-row invariant check (decoded-pixel PSNR >= 40 dB for lossy,
-BASELINE.json:15) decodes them back.  WebP decoding needs codec libraries
-absent from this container — that path is stubbed behind
-NotImplementedError with the Spark-side plumbing (schema, batching, UDF
-signatures) real and tested.
+A minimal pure-stdlib PNG codec (zlib + struct, 8-bit RGB, filter 0), a
+pure-numpy baseline JPEG codec (operators/jpeg.py), and a pure-numpy
+lossless-WebP VP8L codec (operators/vp8l.py) make the `bytes` column REAL
+across all three fmt lanes: datagen encodes actual pixels (lossless
+png/webp lanes, lossy jpeg lane), and the per-row invariant check
+(decoded-pixel equality, PSNR >= 40 dB for lossy, BASELINE.json:15)
+decodes them back.  Lossy-WebP (VP8) decoding needs codec libraries absent
+from this container — that path raises NotImplementedError with the
+Spark-side plumbing (schema, batching, UDF signatures) real and tested.
 """
 
 from __future__ import annotations
@@ -93,10 +94,14 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from jsonschema_jl_spark.operators.jpeg import jpeg_decode
 
         return jpeg_decode(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # lossless VP8L via the pure-numpy codec (operators/vp8l.py);
+        # lossy VP8 / extended VP8X chunks raise NotImplementedError there
+        from jsonschema_jl_spark.operators.vp8l import webp_decode
+
+        return webp_decode(data)
     if fmt == "webp":
-        # libwebp/PIL are not in this container; plumbing is real, the
-        # codec call is the stub.
-        raise NotImplementedError("webp decode requires a codec library")
+        raise ValueError("webp payload without a RIFF container")
     raise ValueError(f"unknown image payload for fmt={fmt}")
 
 
@@ -177,9 +182,9 @@ def with_resized(
 ) -> DataFrame:
     """Resize the binary image column to (out_w, out_h) — decode, vectorized
     nearest-neighbor resample, re-encode — as one Arrow-batched kernel.  Rows
-    whose format has no in-container codec (jpeg/webp) come back unchanged
-    with resize_ok=false instead of failing the job, so a 100 TB run is not
-    killed by a stray payload."""
+    whose payload no in-container codec reads (lossy webp, progressive jpeg)
+    come back unchanged with resize_ok=false instead of failing the job, so
+    a 100 TB run is not killed by a stray payload."""
 
     @F.pandas_udf(_RESIZE_SCHEMA)
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

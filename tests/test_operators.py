@@ -41,9 +41,25 @@ def test_png_roundtrip():
     assert psnr(px, back) == float("inf")
 
 
-def test_webp_decode_is_stubbed():
+def test_webp_roundtrip_via_decode_image():
+    from jsonschema_jl_spark.operators.vp8l import webp_encode
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8)
+    data = webp_encode(px)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    back = decode_image(data, "webp")
+    assert np.array_equal(px, back)  # VP8L is lossless
+
+
+def test_lossy_webp_is_stubbed():
+    import struct as _struct
+
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 16) + b"WEBP" + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4
+    )
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF....WEBP fake", "webp")
+        decode_image(lossy, "webp")
 
 
 def test_truncated_jpeg_rejected():
@@ -107,8 +123,8 @@ def test_with_resized(spark):
     df = generate_images(spark, 30, CFG, with_malformed=False)
     out = with_resized(df, 16, 16).select("image_id", "fmt", "resized.*").collect()
     assert len(out) == 30
-    # datagen payloads all decode (png/jpeg real codecs; webp lane carries
-    # png bytes), so all rows resize
+    # datagen payloads all decode (png/jpeg/webp real codecs), so all rows
+    # resize
     for r in out:
         assert r.resize_ok and r.w == 16 and r.h == 16
         assert decode_image(bytes(r.bytes), "png").shape == (16, 16, 3)
