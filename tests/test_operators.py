@@ -268,3 +268,54 @@ def test_wav_roundtrip_and_audio_features(spark):
     assert abs(out["x"].rms - float(np.sqrt(np.mean(a.astype(np.float64) ** 2)))) < 1e-6
     assert out["y"].channels == 2 and out["y"].n_samples == 8000
     assert not out["z"].decode_ok and out["z"].sample_rate is None
+
+
+def test_simhash_batch_matches_native(spark):
+    """The Arrow-batched vote kernel must be bit-identical to the 60-aggregate
+    native expression (same JVM tokenization + md5 feed both)."""
+    from jsonschema_jl_spark.operators.textops import simhash64, simhash64_batch
+
+    rows = [
+        ("a", "The quick brown fox jumps over the lazy dog"),
+        ("b", "the quick  brown fox Jumps over the lazy dog!"),
+        ("c", ""),
+        ("d", "   "),
+        ("e", "einzelwort"),
+        ("f", None),
+        ("g", "der die und das ist nicht ein mit für auf"),
+        ("h", "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 8),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = (
+        df.select(
+            "id",
+            simhash64(F.col("text")).alias("native"),
+            simhash64_batch(F.col("text")).alias("batch"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r.native == r.batch, f"simhash mismatch for id={r.id}"
+
+
+def test_simhash_votes_kernel_edge_segments():
+    """reduceat edge cases: empty rows at the start, middle, end, and the
+    all-empty batch."""
+    from jsonschema_jl_spark.operators.textops import _simhash_votes_kernel
+
+    def ref(hs):
+        sig = 0
+        for b in range(60):
+            votes = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if votes > 0:
+                sig |= 1 << b
+        return sig
+
+    hs1 = [123456789012345, 987654321098765]
+    hs2 = [(1 << 60) - 1]
+    out = _simhash_votes_kernel([[], hs1, [], hs2, [], None])
+    assert out[0] == 0 and out[2] == 0 and out[4] == 0
+    assert out[1] == ref(hs1) and out[3] == ref(hs2)
+    assert out[5] == 0  # NULL text -> 0, matching the native otherwise(0)
+    out2 = _simhash_votes_kernel([[], []])
+    assert out2[0] == 0 and out2[1] == 0
