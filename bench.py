@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from jsonschema_jl_spark.config import DedupConfig
-from jsonschema_jl_spark.session import get_spark, stop_spark
+from jsonschema_jl_spark.session import get_spark, shutdown_jvm, stop_spark
 from jsonschema_jl_spark.datagen import generate_images
 from jsonschema_jl_spark.gate.gate import gate_filter
 from jsonschema_jl_spark.operators.pipeline import IMAGES_GATE_SCHEMA, dedup_pipeline
@@ -127,6 +127,23 @@ def _steal_jiffies() -> int:
         return int(f.readline().split()[8])
 
 
+def _steal_jiffies_cores(cores: int) -> int:
+    """Steal jiffies summed over cpu0..cpu{cores-1} — the taskset-pinned set.
+
+    Machine-wide steal dilutes a storm 32x: the round-2 driver draw recorded
+    steal 0.0 while this session measured 13% steal ON THE PINNED CORE with
+    machine-wide steal at 1.4% (< the 4% gate).  A local[1] rep only cares
+    about cpu0; gate on exactly the cores the level runs on."""
+    want = {f"cpu{i}" for i in range(cores)}
+    total = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            parts = line.split()
+            if parts and parts[0] in want:
+                total += int(parts[8])
+    return total
+
+
 _BW_BUF = None
 
 
@@ -208,7 +225,9 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
     warm_full = round(time.time() - t0, 1)
     # steal-aware repetition: this sandbox is a VM on a shared host; CPU-
     # steal storms lasting minutes inflate whole reps (never deflate).  A
-    # rep counts as CLEAN only if machine-wide steal stayed <= 4% AND the
+    # rep counts as CLEAN only if steal ON THE PINNED CORES stayed <= 4%
+    # (machine-wide steal dilutes a one-core storm 32x — see
+    # _steal_jiffies_cores) AND the
     # single-thread memcpy probe read >= 2.5 GB/s BOTH immediately before
     # and immediately after it (co-tenant bandwidth contention is invisible
     # to steal accounting; probing both ends catches storms that start
@@ -237,11 +256,12 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
     while attempts < max_attempts:
         attempts += 1
         bw0 = _mem_bandwidth_gbs()
-        s0, t0 = _steal_jiffies(), time.time()
+        s0, t0 = _steal_jiffies_cores(cores), time.time()
         res = dedup_pipeline(df, CFG, collect_metrics=False)
         res.labels.count()
         dt = time.time() - t0
-        steal_frac = (_steal_jiffies() - s0) / 100.0 / (dt * 32)
+        # per-PINNED-core steal fraction (see _steal_jiffies_cores)
+        steal_frac = (_steal_jiffies_cores(cores) - s0) / 100.0 / (dt * cores)
         res.cleanup()
         bw1 = _mem_bandwidth_gbs()
         steals.append(round(steal_frac, 3))
@@ -278,6 +298,11 @@ def main() -> None:
     path = input_path(spark, n_rows)
     total_rows = spark.read.parquet(path).count()
     stop_spark(spark)
+    # fresh JVM per phase: one process shares ONE gateway JVM sized by the
+    # FIRST session, so bench_main's 16g pre-committed heap below silently
+    # would not apply — and the datagen JVM's stopped-but-resident heap
+    # (26 GB RSS observed) pressures later phases (see shutdown_jvm)
+    shutdown_jvm()
 
     results: dict = {}
     # shuffle partitions = cores (not 2x): measured 11.4s vs 26.5s min at
@@ -294,6 +319,7 @@ def main() -> None:
     )
     timings, n_labeled, n_valid = run_pipeline(spark, path)
     stop_spark(spark)
+    shutdown_jvm()
     wall = timings["pipeline_full"]
     thr_main = total_rows / wall
 
@@ -327,6 +353,9 @@ def main() -> None:
         scale_rows = s.read.parquet(scale_path).count()
         warm_src = input_path(s, n_rows)
         stop_spark(s)
+        # the scale WORKERS are fresh subprocesses — make sure this parent's
+        # JVM is not squatting on tens of GB while they are being timed
+        shutdown_jvm()
         os.makedirs("/dev/shm/benchdata", exist_ok=True)
         shm_path = f"/dev/shm/benchdata/{os.path.basename(scale_path)}"
         if not os.path.exists(shm_path):
