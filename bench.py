@@ -71,15 +71,21 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
     warm.labels.count()
     warm.cleanup()
 
+    # each timed query gets its own warm run (as gate_dynamic always had):
+    # the first action after the big warm pipeline absorbs that run's
+    # deferred cleanup (ContextCleaner unpersists, GC of shuffle state) —
+    # measured 8.8 s for a native gate whose steady state is ~1 s
+    gate_filter(images, IMAGES_GATE_SCHEMA).count()  # warm
     t0 = time.time()
     n_valid = gate_filter(images, IMAGES_GATE_SCHEMA).count()
     timings["gate"] = round(time.time() - t0, 2)
 
-    t0 = time.time()
     slim = gate_filter(images, IMAGES_GATE_SCHEMA).select("image_id", "caption", "phash")
     # keep_shingles=False matches what the pipeline actually materializes
     # (verification recomputes shingles for candidates only)
     sigs = with_signatures(slim, cfg=CFG, keep_shingles=False)
+    sigs.write.mode("overwrite").format("noop").save()  # warm
+    t0 = time.time()
     sigs.write.mode("overwrite").format("noop").save()
     timings["signatures"] = round(time.time() - t0, 2)
 
@@ -228,12 +234,14 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
     # rep counts as CLEAN only if steal ON THE PINNED CORES stayed <= 4%
     # (machine-wide steal dilutes a one-core storm 32x — see
     # _steal_jiffies_cores) AND the
-    # single-thread memcpy probe read >= 2.5 GB/s BOTH immediately before
+    # single-thread memcpy probe read >= 6.0 GB/s BOTH immediately before
     # and immediately after it (co-tenant bandwidth contention is invisible
     # to steal accounting; probing both ends catches storms that start
-    # mid-rep; the clean-host probe reads 2.8-3.3 GB/s, so 2.5 rejects any
-    # draw bracketed by visible contention — the old 2.0 floor admitted
-    # probes taken during mild storms).  Each level keeps drawing until it
+    # mid-rep).  Probe calibration: with the worker-env malloc tuning the
+    # probe buffer is arena-warm (no per-copy mmap/fault), so a clean host
+    # reads 8-10 GB/s — the old 2.5 floor belonged to the cold-buffer probe
+    # (2.8-3.3 GB/s clean) and would now admit severe storms.  Each level
+    # keeps drawing until it
     # has `reps` clean reps (bounded), and the reported number is the min
     # over the `reps` FASTEST clean draws — the SAME count at every level.
     # Draw-count symmetry matters: min-of-6 at one level vs min-of-2 at the
@@ -266,7 +274,7 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
         bw1 = _mem_bandwidth_gbs()
         steals.append(round(steal_frac, 3))
         bands.append((round(bw0, 2), round(bw1, 2)))
-        if steal_frac <= 0.04 and min(bw0, bw1) >= 2.5:
+        if steal_frac <= 0.04 and min(bw0, bw1) >= 6.0:
             times.append(dt)
         if len(times) >= reps:
             best = sorted(times)[:reps]
@@ -298,6 +306,17 @@ def main() -> None:
     path = input_path(spark, n_rows)
     total_rows = spark.read.parquet(path).count()
     stop_spark(spark)
+    # stage the MEASURED input on tmpfs, exactly like the scaling levels: the
+    # gate validates `required: bytes`, so every timed query scans the full
+    # binary payload column — against the sandbox's erratic disk a cold
+    # page cache turned a 0.9 s native gate into 59 s (measuring the disk,
+    # not the engine).  On a real cluster this is the executor-local
+    # NVMe/HDFS read path; tmpfs is the single-box stand-in.
+    os.makedirs("/dev/shm/benchdata", exist_ok=True)
+    shm_main = f"/dev/shm/benchdata/{os.path.basename(path)}"
+    if not os.path.exists(shm_main):
+        shutil.copytree(path, shm_main)
+    path = shm_main
     # fresh JVM per phase: one process shares ONE gateway JVM sized by the
     # FIRST session, so bench_main's 16g pre-committed heap below silently
     # would not apply — and the datagen JVM's stopped-but-resident heap
