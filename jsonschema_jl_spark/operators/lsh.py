@@ -52,7 +52,8 @@ class SkewMetrics:
 
 
 def candidate_pairs(
-    buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, with_metrics: bool = False
+    buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, with_metrics: bool = False,
+    cache_registry: list | None = None,
 ):
     """Distinct (src, dst) candidate pairs (src < dst) from shared buckets.
 
@@ -82,8 +83,24 @@ def candidate_pairs(
     # WindowExec must SORT all O(rows x bands) bucket rows inside each
     # partition — measured as the single largest non-kernel cost at 25.6M
     # bucket rows; hash aggregation needs no order.
+    #
+    # `rows` MUST be persisted for the sharing to actually happen: without
+    # it, Catalyst plans the count branch as partial-agg -> exchange of
+    # (bucket, n) — a DIFFERENT exchange from the raw-row one — so exchange
+    # reuse never fires and the whole upstream MinHash/banding subtree runs
+    # TWICE (event-log profile at 864k rows: two MapInArrow stages, 80s +
+    # 31s task-time, plus a redundant 286 MB partial-agg exchange).  The
+    # persisted bucket rows are ~0.8C of fixed-width longs (SCALE.md shuffle
+    # budget); at cluster scale this materialization is the banding slice of
+    # the P13 signature checkpoint.  Caller owns the unpersist via
+    # `cache_registry` (the pipeline unpersists after the edge checkpoint);
+    # with no registry the persist is skipped to avoid leaking caches in
+    # long-lived sessions (plan falls back to the double-compute).
     par = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     rows = buckets.repartition(par, "bucket")
+    if cache_registry is not None:
+        rows = rows.persist()
+        cache_registry.append(rows)
     counts = rows.groupBy("bucket").agg(F.count("*").alias("n"))
     shared = counts.filter((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap)).drop("n")
     ok_rows = rows.join(shared.hint("SHUFFLE_HASH"), "bucket")
@@ -103,9 +120,10 @@ def candidate_pairs(
     )
     if not with_metrics:
         return pairs
+    # reuse `counts` (same persisted bucket rows / same agg subtree) — a
+    # fresh buckets.groupBy here re-ran MinHash + banding a third time
     capped = (
-        buckets.groupBy("bucket").agg(F.count("*").alias("n"))
-        .filter(F.col("n") > cfg.bucket_cap)
+        counts.filter(F.col("n") > cfg.bucket_cap)
         .agg(F.count("*").alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r"))
         .collect()[0]
     )

@@ -107,11 +107,18 @@ def dedup_pipeline(
     )
 
     buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
+    # registry-managed persist of the banded bucket rows: shares ONE
+    # MinHash+banding computation between the bucket-count and pair-building
+    # branches (see candidate_pairs); unpersisted by PipelineResult.cleanup
+    # after the edge checkpoint materializes
+    lsh_caches: list = []
     if collect_metrics:
-        cands, skew = candidate_pairs(buckets, cfg, with_metrics=True)
+        cands, skew = candidate_pairs(
+            buckets, cfg, with_metrics=True, cache_registry=lsh_caches
+        )
         skew_metrics = skew.as_dict()
     else:
-        cands = candidate_pairs(buckets, cfg)
+        cands = candidate_pairs(buckets, cfg, cache_registry=lsh_caches)
         skew_metrics = {}
     caption_edges = verify_jaccard_text(
         cands, slim, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
@@ -154,6 +161,10 @@ def dedup_pipeline(
     # job (measured 2.7x the staged cost).  localCheckpoint in the sandbox;
     # the Iceberg edge-table write at cluster scale.
     edges = edges.localCheckpoint(eager=True)
+    # the edge checkpoint was the bucket-row cache's last consumer — free it
+    # before CC iterates rather than holding it until cleanup()
+    for df in lsh_caches:
+        df.unpersist()
 
     nid_labels = connected_components(
         edges.select("src", "dst"),
