@@ -34,10 +34,39 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iters: int = 25,
     checkpoint_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """edges: (src, dst).  Returns (id, component) — component is the min
     vertex id reachable; singleton vertices (when `vertices` is given) keep
-    their own id."""
+    their own id.
+
+    `shuffle_partitions` sizes the iteration's shuffles to the EDGE data
+    (a property of the data, like every other partition count here): edges
+    are orders of magnitude smaller than the corpus, and running the
+    per-round join/agg over the corpus-sized partition count makes each
+    round scheduling-latency-bound — measured ~11s of near-constant CC tail
+    at 48 partitions regardless of core count, i.e. pure Amdahl serial
+    fraction in the scaling ratio.  The override is applied around the loop
+    and restored after (session-conf reads happen at each action's
+    planning)."""
+    spark = edges.sparkSession
+    saved_par = None
+    if shuffle_partitions is not None:
+        saved_par = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _cc_min_label(edges, vertices, max_iters, checkpoint_fn)
+    finally:
+        if saved_par is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_par)
+
+
+def _cc_min_label(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_iters: int,
+    checkpoint_fn: Callable[[DataFrame, int], DataFrame] | None,
+) -> DataFrame:
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     ).distinct()
@@ -47,7 +76,15 @@ def connected_components(
     sym = sym.persist()
 
     if checkpoint_fn is None:
-        checkpoint_fn = lambda df, i: df.localCheckpoint(eager=True)  # noqa: E731
+        # LAZY lineage cut: the per-iteration `changed` count is the next
+        # action anyway, so let it materialize the checkpoint — one Spark
+        # job per round instead of two (each extra job is pure driver
+        # latency at edge scale; CC's tail is latency-bound, not
+        # compute-bound, and acts as Amdahl serial time in the scaling
+        # ratio).  A reliable-checkpoint `checkpoint_fn` on a real cluster
+        # (Iceberg label-table write) is eager by nature — only the
+        # sandbox default gets the merge.
+        checkpoint_fn = lambda df, i: df.localCheckpoint(eager=False)  # noqa: E731
 
     labels = checkpoint_fn(
         sym.select(F.col("u").alias("id")).distinct().select("id", F.col("id").alias("component")),

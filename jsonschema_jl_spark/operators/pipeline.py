@@ -166,10 +166,16 @@ def dedup_pipeline(
     for df in lsh_caches:
         df.unpersist()
 
+    # CC shuffles only edge-scale data: size its partitioning to the edges
+    # (count is a cheap scan of the just-checkpointed blocks), not to the
+    # corpus — see connected_components(shuffle_partitions=...)
+    n_edges = edges.count()
+    cc_par = min(par, max(8, (n_edges + 249_999) // 250_000))
     nid_labels = connected_components(
         edges.select("src", "dst"),
         vertices=slim.select("nid"),
         max_iters=cfg.cc_max_iters,
+        shuffle_partitions=cc_par,
     )
     # map the numeric hot-path ids back to image_ids (component keeps a
     # stable representative: the image_id of its min-nid member)
