@@ -91,3 +91,16 @@ def test_convergence_signature_distinguishes(spark):
     s2 = sig([("a", "b"), ("c", "e")])
     assert s1 != s2          # same count, different edges -> different hash
     assert s1 == sig([("c", "d"), ("a", "b")])  # order-insensitive
+
+
+def test_shuffle_partitions_override_restored(spark):
+    """connected_components(shuffle_partitions=...) applies the override
+    only around the iteration and restores the session conf afterwards."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    from jsonschema_jl_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = connected_components(edges, shuffle_partitions=2)
+    rows = {(r.id, r.component) for r in out.collect()}
+    assert rows == {("a", "a"), ("b", "a"), ("c", "a")}
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -319,3 +319,27 @@ def test_simhash_votes_kernel_edge_segments():
     assert out[5] == 0  # NULL text -> 0, matching the native otherwise(0)
     out2 = _simhash_votes_kernel([[], []])
     assert out2[0] == 0 and out2[1] == 0
+
+
+def test_candidate_pairs_cache_registry(spark):
+    """With a cache_registry the banded bucket rows are persisted (one
+    MinHash/banding computation shared by the count and pair branches) and
+    ownership of the unpersist moves to the caller; results are identical
+    to the registry-less plan."""
+    from pyspark.sql import functions as F
+
+    texts = [(f"id{i:02d}", f"caption text shared prefix {i % 7}") for i in range(40)]
+    df = spark.createDataFrame(texts, "image_id string, caption string")
+    sigs = with_signatures(df, cfg=CFG, keep_shingles=False)
+    buckets = band_buckets(sigs, cfg=CFG)
+    reg: list = []
+    pairs_cached = candidate_pairs(buckets, CFG, cache_registry=reg)
+    got = {(r.src, r.dst) for r in pairs_cached.collect()}
+    assert len(reg) == 1 and reg[0].is_cached
+    plain = {(r.src, r.dst) for r in candidate_pairs(buckets, CFG).collect()}
+    assert got == plain
+    # metrics branch reuses the same counts aggregate
+    _, skew = candidate_pairs(buckets, CFG, with_metrics=True, cache_registry=reg)
+    assert skew.capped_rows >= 0
+    for cached in reg:
+        cached.unpersist()
