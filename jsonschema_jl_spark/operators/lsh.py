@@ -97,7 +97,11 @@ def candidate_pairs(
     # with no registry the persist is skipped to avoid leaking caches in
     # long-lived sessions (plan falls back to the double-compute).
     par = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    rows = buckets.repartition(par, "bucket")
+    # band is metrics-only downstream of banding (the band id is already
+    # folded into the bucket hash) — project it off BEFORE the big exchange:
+    # at b bands the bucket rows are the pipeline's widest fixed-width
+    # shuffle, and the spare int is ~20% of its bytes
+    rows = buckets.select("id", "bucket").repartition(par, "bucket")
     if cache_registry is not None:
         rows = rows.persist()
         cache_registry.append(rows)
