@@ -42,9 +42,18 @@ def phash_blocks(
 def phash_pairs(
     df: DataFrame, id_col: str = "image_id", phash_col: str = "phash",
     cfg: DedupConfig = DEFAULT_CONFIG, block_cap: int = 10_000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
-    """Distinct (src, dst, hamming) pairs with Hamming(phash) <= radius."""
+    """Distinct (src, dst, hamming) pairs with Hamming(phash) <= radius.
+
+    With a cache_registry the exploded block rows are persisted so the
+    block-size count and the self-join share one computation (same
+    partial-agg-exchange reuse failure as lsh.candidate_pairs; see there);
+    the caller unpersists."""
     blocks = phash_blocks(df, id_col, phash_col, cfg)
+    if cache_registry is not None:
+        blocks = blocks.persist()
+        cache_registry.append(blocks)
     sizes = blocks.groupBy("block", "key").agg(F.count("*").alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= block_cap)).drop("n")
     member = blocks.join(ok, ["block", "key"])

@@ -107,18 +107,20 @@ def dedup_pipeline(
     )
 
     buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
-    # registry-managed persist of the banded bucket rows: shares ONE
-    # MinHash+banding computation between the bucket-count and pair-building
-    # branches (see candidate_pairs); unpersisted by PipelineResult.cleanup
-    # after the edge checkpoint materializes
-    lsh_caches: list = []
+    # registry-managed persists for the three detectors' shared subtrees
+    # (banded bucket rows, phash block rows, container gram rows): each is
+    # referenced by BOTH a size-count branch and a join branch, and without
+    # a materialization barrier Catalyst duplicates the whole upstream
+    # computation (see candidate_pairs); unpersisted right after the edge
+    # checkpoint materializes
+    op_caches: list = []
     if collect_metrics:
         cands, skew = candidate_pairs(
-            buckets, cfg, with_metrics=True, cache_registry=lsh_caches
+            buckets, cfg, with_metrics=True, cache_registry=op_caches
         )
         skew_metrics = skew.as_dict()
     else:
-        cands = candidate_pairs(buckets, cfg, cache_registry=lsh_caches)
+        cands = candidate_pairs(buckets, cfg, cache_registry=op_caches)
         skew_metrics = {}
     caption_edges = verify_jaccard_text(
         cands, slim, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
@@ -129,14 +131,15 @@ def dedup_pipeline(
     edge_parts = [caption_edges]
     if use_phash:
         edge_parts.append(
-            phash_pairs(slim, id_col="nid", cfg=cfg).select(
+            phash_pairs(slim, id_col="nid", cfg=cfg, cache_registry=op_caches).select(
                 "src", "dst", F.lit("phash").alias("kind")
             )
         )
     if use_containment:
         edge_parts.append(
             containment_pairs(
-                slim, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
+                slim, id_col="nid", text_col="txt_norm", cfg=cfg,
+                assume_normalized=True, cache_registry=op_caches,
             ).select(
                 "src", "dst", F.lit("substring").alias("kind")
             )
@@ -163,7 +166,7 @@ def dedup_pipeline(
     edges = edges.localCheckpoint(eager=True)
     # the edge checkpoint was the bucket-row cache's last consumer — free it
     # before CC iterates rather than holding it until cleanup()
-    for df in lsh_caches:
+    for df in op_caches:
         df.unpersist()
 
     # CC shuffles only edge-scale data: size its partitioning to the edges

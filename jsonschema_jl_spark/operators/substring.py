@@ -38,6 +38,7 @@ def containment_pairs(
     cfg: DedupConfig = DEFAULT_CONFIG,
     anchor_cap: int = 10_000,
     assume_normalized: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(src, dst) with normalized src caption a strict substring of dst's.
 
@@ -90,6 +91,17 @@ def containment_pairs(
     # the default sort-merge strategy would SORT the multi-million-row gram
     # and text relations at every join, and hash joins need no order — at
     # bench scale the sorts were the dominant non-kernel cost of this pass.
+    #
+    # Like the LSH bucket rows (lsh.py), the gram explode is referenced by
+    # BOTH the anchor-size count and the candidate join; without a
+    # materialization barrier Catalyst plans the count branch as its own
+    # partial-agg exchange and the whole strided-gram explode (one
+    # substr+xxhash64 pass over every container position — 22M rows at the
+    # 864k-row bench) runs twice.  Caller owns the unpersist via
+    # cache_registry; with no registry the old double-compute plan stands.
+    if cache_registry is not None:
+        grams = grams.persist()
+        cache_registry.append(grams)
     sizes = grams.groupBy("key").agg(F.count("*").alias("n"))
     ok = sizes.filter(F.col("n") <= anchor_cap).drop("n")
     grams = grams.join(ok.hint("SHUFFLE_HASH"), "key")
