@@ -48,7 +48,17 @@ def connected_components(
     at 48 partitions regardless of core count, i.e. pure Amdahl serial
     fraction in the scaling ratio.  The override is applied around the loop
     and restored after (session-conf reads happen at each action's
-    planning)."""
+    planning).  NOTE: this mutates the SESSION-global conf for the loop's
+    duration — it assumes a single-threaded driver (no concurrent queries
+    planned on the same SparkSession while CC iterates); concurrent planners
+    would silently pick up the edge-sized partition count.  For a shared
+    session, pass shuffle_partitions=None and pre-repartition the edges."""
+    if max_iters < 1:
+        # the loop must run at least once: with zero iterations the initial
+        # lazy labels checkpoint would never materialize before
+        # sym.unpersist(), so the caller's first action would recompute the
+        # entire upstream edge cascade
+        max_iters = 1
     spark = edges.sparkSession
     saved_par = None
     if shuffle_partitions is not None:

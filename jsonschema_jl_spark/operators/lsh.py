@@ -3,10 +3,11 @@
 Spark-first design:
   * banding is a native posexplode over JVM-side F.hash of signature slices —
     no Python;
-  * candidate pairs come from a self-equi-join on the bucket key, which AQE
-    can skew-split; the join's shuffle partitioning (band, bucket) is reused
-    from the size-filter aggregation, so the extra skew pass costs no extra
-    shuffle of the big side;
+  * candidate pairs come from a self-equi-join on the bucket key (the band
+    id is folded into the bucket hash, so `bucket` alone is the join key),
+    which AQE can skew-split; the join's shuffle partitioning on `bucket` is
+    reused from the size-filter aggregation, so the extra skew pass costs no
+    extra shuffle of the big side;
   * skew handling (north rule, BASELINE.json:6): bucket sizes are measured
     first; buckets above cfg.bucket_cap are excluded from pairing and
     reported as metrics (count + dropped row mass).  Stop-shingle buckets at
@@ -31,7 +32,9 @@ def band_buckets(
 ) -> DataFrame:
     """(id, band, bucket) — one row per band.  The band index is folded INTO
     the bucket hash (xxhash64 of the slice, salted by the band id), so the
-    bucket alone is a valid join/grouping key; `band` is kept for metrics."""
+    bucket alone is a valid join/grouping key; `band` is informational only
+    (candidate_pairs projects it off before the big exchange and nothing
+    downstream consumes it)."""
     slices = [
         F.xxhash64(F.slice(F.col(sig_col), b * cfg.rows_per_band + 1, cfg.rows_per_band), F.lit(b))
         for b in range(cfg.num_bands)

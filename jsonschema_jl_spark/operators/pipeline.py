@@ -98,104 +98,117 @@ def dedup_pipeline(
         slim = slim.persist()
         slim.count()
 
-    # signatures stream straight into banding (their only consumer since
-    # Jaccard verification recomputes shingles from candidate texts) — no
-    # persist: caching 1 KB/row of array data costs more than the kernel
-    sigs = with_signatures(
-        slim, text_col="txt_norm", cfg=cfg, keep_shingles=False,
-        assume_normalized=True, repartition=False,  # slim is already rebalanced
-    )
-
-    buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
-    # registry-managed persists for the three detectors' shared subtrees
-    # (banded bucket rows, phash block rows, container gram rows): each is
-    # referenced by BOTH a size-count branch and a join branch, and without
-    # a materialization barrier Catalyst duplicates the whole upstream
-    # computation (see candidate_pairs); unpersisted right after the edge
-    # checkpoint materializes
-    op_caches: list = []
-    if collect_metrics:
-        cands, skew = candidate_pairs(
-            buckets, cfg, with_metrics=True, cache_registry=op_caches
+    try:
+        # signatures stream straight into banding (their only consumer since
+        # Jaccard verification recomputes shingles from candidate texts) — no
+        # persist: caching 1 KB/row of array data costs more than the kernel
+        sigs = with_signatures(
+            slim, text_col="txt_norm", cfg=cfg, keep_shingles=False,
+            assume_normalized=True, repartition=False,  # slim is already rebalanced
         )
-        skew_metrics = skew.as_dict()
-    else:
-        cands = candidate_pairs(buckets, cfg, cache_registry=op_caches)
-        skew_metrics = {}
-    caption_edges = verify_jaccard_text(
-        cands, slim, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
-    ).select(
-        "src", "dst", F.lit("caption").alias("kind")
-    )
 
-    edge_parts = [caption_edges]
-    if use_phash:
-        edge_parts.append(
-            phash_pairs(slim, id_col="nid", cfg=cfg, cache_registry=op_caches).select(
-                "src", "dst", F.lit("phash").alias("kind")
-            )
-        )
-    if use_containment:
-        edge_parts.append(
-            containment_pairs(
-                slim, id_col="nid", text_col="txt_norm", cfg=cfg,
-                assume_normalized=True, cache_registry=op_caches,
+        buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
+        # registry-managed persists for the three detectors' shared subtrees
+        # (banded bucket rows, phash block rows, container gram rows): each is
+        # referenced by BOTH a size-count branch and a join branch, and without
+        # a materialization barrier Catalyst duplicates the whole upstream
+        # computation (see candidate_pairs); unpersisted right after the edge
+        # checkpoint materializes
+        op_caches: list = []
+        # try/finally: the skew-metrics collect, verify kernel, and the eager
+        # edge checkpoint below can all raise — without the finally the
+        # registry's persisted bucket/block/gram subtrees would stay pinned for
+        # the life of the session (the exact leak the registry exists to avoid)
+        try:
+            if collect_metrics:
+                cands, skew = candidate_pairs(
+                    buckets, cfg, with_metrics=True, cache_registry=op_caches
+                )
+                skew_metrics = skew.as_dict()
+            else:
+                cands = candidate_pairs(buckets, cfg, cache_registry=op_caches)
+                skew_metrics = {}
+            caption_edges = verify_jaccard_text(
+                cands, slim, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
             ).select(
-                "src", "dst", F.lit("substring").alias("kind")
+                "src", "dst", F.lit("caption").alias("kind")
             )
+
+            edge_parts = [caption_edges]
+            if use_phash:
+                edge_parts.append(
+                    phash_pairs(slim, id_col="nid", cfg=cfg, cache_registry=op_caches).select(
+                        "src", "dst", F.lit("phash").alias("kind")
+                    )
+                )
+            if use_containment:
+                edge_parts.append(
+                    containment_pairs(
+                        slim, id_col="nid", text_col="txt_norm", cfg=cfg,
+                        assume_normalized=True, cache_registry=op_caches,
+                    ).select(
+                        "src", "dst", F.lit("substring").alias("kind")
+                    )
+                )
+            edges = edge_parts[0]
+            for e in edge_parts[1:]:
+                edges = edges.unionByName(e)
+            # P10: one edge per unordered pair (kinds may overlap; keep first by
+            # priority caption < phash < substring deterministically)
+            edges = edges.withColumn(
+                "pri", F.when(F.col("kind") == "caption", 0).when(F.col("kind") == "phash", 1).otherwise(2)
+            )
+            edges = (
+                edges.groupBy("src", "dst").agg(F.min(F.struct("pri", "kind")).alias("k"))
+                .select("src", "dst", F.col("k.kind").alias("kind"))
+            )
+            # P10 materialization: CC symmetrizes edges as `edges UNION
+            # edges.swapped` — the edge subtree appears TWICE under that union,
+            # and Spark computes each union branch's lineage independently
+            # (exchange reuse does not cover the pandas-UDF candidate/verify/
+            # containment cascade), so without a cut here the entire detector
+            # cascade runs twice inside CC's first job (measured 2.7x the staged
+            # cost).  localCheckpoint in the sandbox; the Iceberg edge-table
+            # write at cluster scale.
+            edges = edges.localCheckpoint(eager=True)
+        finally:
+            # the edge checkpoint was the bucket-row cache's last consumer — free
+            # it before CC iterates rather than holding it until cleanup()
+            for df in op_caches:
+                df.unpersist()
+
+        # CC shuffles only edge-scale data: size its partitioning to the edges
+        # (count is a cheap scan of the just-checkpointed blocks), not to the
+        # corpus — see connected_components(shuffle_partitions=...)
+        n_edges = edges.count()
+        cc_par = min(par, max(8, (n_edges + 249_999) // 250_000))
+        nid_labels = connected_components(
+            edges.select("src", "dst"),
+            vertices=slim.select("nid"),
+            max_iters=cfg.cc_max_iters,
+            shuffle_partitions=cc_par,
         )
-    edges = edge_parts[0]
-    for e in edge_parts[1:]:
-        edges = edges.unionByName(e)
-    # P10: one edge per unordered pair (kinds may overlap; keep first by
-    # priority caption < phash < substring deterministically)
-    edges = edges.withColumn(
-        "pri", F.when(F.col("kind") == "caption", 0).when(F.col("kind") == "phash", 1).otherwise(2)
-    )
-    edges = (
-        edges.groupBy("src", "dst").agg(F.min(F.struct("pri", "kind")).alias("k"))
-        .select("src", "dst", F.col("k.kind").alias("kind"))
-    )
-    # P10 materialization: CC symmetrizes edges as `edges UNION edges.swapped`
-    # — the edge subtree appears TWICE under that union, and Spark computes
-    # each union branch's lineage independently (exchange reuse does not
-    # cover the pandas-UDF candidate/verify/containment cascade), so without
-    # a cut here the entire detector cascade runs twice inside CC's first
-    # job (measured 2.7x the staged cost).  localCheckpoint in the sandbox;
-    # the Iceberg edge-table write at cluster scale.
-    edges = edges.localCheckpoint(eager=True)
-    # the edge checkpoint was the bucket-row cache's last consumer — free it
-    # before CC iterates rather than holding it until cleanup()
-    for df in op_caches:
-        df.unpersist()
-
-    # CC shuffles only edge-scale data: size its partitioning to the edges
-    # (count is a cheap scan of the just-checkpointed blocks), not to the
-    # corpus — see connected_components(shuffle_partitions=...)
-    n_edges = edges.count()
-    cc_par = min(par, max(8, (n_edges + 249_999) // 250_000))
-    nid_labels = connected_components(
-        edges.select("src", "dst"),
-        vertices=slim.select("nid"),
-        max_iters=cfg.cc_max_iters,
-        shuffle_partitions=cc_par,
-    )
-    # map the numeric hot-path ids back to image_ids (component keeps a
-    # stable representative: the image_id of its min-nid member)
-    iddict = slim.select("nid", "image_id")
-    comp_names = iddict.select(
-        F.col("nid").alias("component"), F.col("image_id").alias("component_id")
-    )
-    labels = (
-        nid_labels.join(iddict, nid_labels.id == iddict.nid)
-        .join(comp_names, "component")
-        .select("image_id", F.col("component_id").alias("component"))
-    )
-
-    return PipelineResult(
-        labels=labels,
-        edges=edges,
-        signatures=sigs,
-        metrics={"skew": skew_metrics, "config_hash": cfg.config_hash()},
-        _cached=(slim,) if persist else (),
-    )
+        # map the numeric hot-path ids back to image_ids (component keeps a
+        # stable representative: the image_id of its min-nid member)
+        iddict = slim.select("nid", "image_id")
+        comp_names = iddict.select(
+            F.col("nid").alias("component"), F.col("image_id").alias("component_id")
+        )
+        labels = (
+            nid_labels.join(iddict, nid_labels.id == iddict.nid)
+            .join(comp_names, "component")
+            .select("image_id", F.col("component_id").alias("component"))
+        )
+        return PipelineResult(
+            labels=labels,
+            edges=edges,
+            signatures=sigs,
+            metrics={"skew": skew_metrics, "config_hash": cfg.config_hash()},
+            _cached=(slim,) if persist else (),
+        )
+    except BaseException:
+        # release the eager slim persist on ANY failure downstream —
+        # otherwise an aborted run pins the projection for the session
+        if persist:
+            slim.unpersist()
+        raise

@@ -118,14 +118,21 @@ def main() -> None:
     jobs.sort(key=lambda j: j[1])
     print(f"\n=== local[{cores}] rep: wall {wall:.1f}s, {len(jobs)} jobs ===")
     total_job = sum((e - s) / 1000 for _, s, e in jobs)
+    # serial gaps assume sequential jobs; concurrent actions make
+    # start[i] - end[i-1] negative, which would silently deflate the total —
+    # clamp each gap at 0 and report the overlap separately
     gaps = []
+    overlap = 0.0
     for i in range(1, len(jobs)):
         g = (jobs[i][1] - jobs[i - 1][2]) / 1000
+        if g < 0:
+            overlap += -g
+            g = 0.0
         gaps.append((jobs[i][0], g))
     lead = (jobs[0][1] - mark) / 1000 if jobs else 0.0
     total_gap = sum(g for _, g in gaps) + lead
     print(f"in-job time  : {total_job:.1f}s")
-    print(f"gap (serial) : {total_gap:.1f}s  (lead-in {lead:.1f}s)")
+    print(f"gap (serial) : {total_gap:.1f}s  (lead-in {lead:.1f}s, job overlap {overlap:.1f}s)")
     print("top gaps:")
     for jid, g in sorted(gaps, key=lambda x: -x[1])[:10]:
         print(f"  before job {jid}: {g:.2f}s")
@@ -140,7 +147,7 @@ def main() -> None:
         print(f"  job {jid}: {dur:7.2f}s  task {tt:8.1f}s  util {util:4.2f}")
     print(json.dumps({"cores": cores, "wall": round(wall, 1),
                       "in_job": round(total_job, 1), "serial_gap": round(total_gap, 1),
-                      "n_jobs": len(jobs)}))
+                      "job_overlap": round(overlap, 1), "n_jobs": len(jobs)}))
 
 
 if __name__ == "__main__":
