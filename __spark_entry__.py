@@ -620,7 +620,7 @@ def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotation densification) in pure mod-2^64 SQL arithmetic (_OPH_ORACLE_SQL
     below).  Emitted per row: minhash0 (= densified bin 0: the band
     interleave in minhash.py:227 maps signature slot 0 to bin 0) checks one
-    slot bit-exactly; sig_modsum folds ALL 128 slots mod 2^61-1, so any
+    slot bit-exactly; sig_modsum folds ALL CFG.num_perm slots mod 2^61-1, so any
     slot changing is caught with probability 1 - 2^-61.  The signature
     values are signed-int64 reinterpretations of engine uint64s, hence the
     unsigned-residue arithmetic in the aggregate below."""
@@ -937,28 +937,30 @@ def _oph_oracle_sql() -> str:
 
     hexpr = " + ".join(f"{code(t)}::HUGEINT * {_OPH_POWS[t]}::HUGEINT" for t in range(5))
     m = _SIG_MOD
+    P = CFG.num_perm  # OPH bin count; bin = top log2(P) bits of the mix
+    shift = 64 - (P.bit_length() - 1)
     return f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 win AS (SELECT doc_id, unnest([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 2))]) AS w FROM n),
 h AS (SELECT doc_id, xor((({hexpr}) % {_U64})::UBIGINT, {CFG.minhash_seed}::UBIGINT) AS z FROM win),
 {_sql_splitmix('z', 'mx', 'h')},
 {_sql_splitmix('mx_v', 'vv', 'mx_o')},
-shing AS (SELECT doc_id, (mx_v >> 57)::BIGINT AS bin, (vv_v >> 1) AS val FROM vv_o),
+shing AS (SELECT doc_id, (mx_v >> {shift})::BIGINT AS bin, (vv_v >> 1) AS val FROM vv_o),
 bins AS (SELECT doc_id, bin, min(val) AS mv FROM shing GROUP BY 1, 2),
-grid AS (SELECT doc_id, unnest(range(128)) AS j FROM n),
+grid AS (SELECT doc_id, unnest(range({P})) AS j FROM n),
 nx AS (
   SELECT g.doc_id, g.j,
-         coalesce(min(b.bin) FILTER (WHERE b.bin >= g.j), min(b.bin) + 128) AS nxt
+         coalesce(min(b.bin) FILTER (WHERE b.bin >= g.j), min(b.bin) + {P}) AS nxt
   FROM grid g JOIN bins b ON b.doc_id = g.doc_id
   GROUP BY 1, 2
 ),
 dens AS (
   SELECT nx.doc_id, nx.j,
          (b.mv + (nx.nxt - nx.j)::UBIGINT * 40503::UBIGINT) AS dv
-  FROM nx JOIN bins b ON b.doc_id = nx.doc_id AND b.bin = nx.nxt % 128
+  FROM nx JOIN bins b ON b.doc_id = nx.doc_id AND b.bin = nx.nxt % {P}
 )
 SELECT doc_id,
-       128 AS sig_len,
+       {P} AS sig_len,
        max(CASE WHEN j = 0 THEN
             CASE WHEN dv >= 9223372036854775808::UBIGINT
                  THEN (dv::HUGEINT - {_U64})::BIGINT ELSE dv::BIGINT END END) AS minhash0,

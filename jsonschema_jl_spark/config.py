@@ -17,7 +17,16 @@ class DedupConfig:
     # --- caption shingling (P2) ---
     shingle_k: int = 5            # char-level k-gram width (bytes of NFC text)
     # --- MinHash (P3) ---
-    num_perm: int = 128           # signature length (bins for OPH)
+    # 256 bins with b=32/r=8 banding puts the LSH S-curve midpoint at
+    # (1/32)^(1/8) = 0.648, matched to jaccard_tau=0.7.  The previous
+    # 128/b=32/r=4 shape (midpoint 0.42) admitted ~20x more false
+    # candidates at bench scale (4.2% candidate precision — SCALE.md "LSH
+    # precision budget"), paying the pipeline's largest shuffle on junk.
+    # Measured on the deterministic corpus (tools/tune_lsh.py, 6000 rows):
+    # raw banding recall 1.0, candidate precision 0.99 (vs 0.62 before).
+    # OPH cost is O(total shingles) independent of bin count, so the wider
+    # signature only doubles the (small) signature bytes per row.
+    num_perm: int = 256           # signature length (bins for OPH)
     minhash_seed: int = 4242
     mersenne_prime: int = (1 << 61) - 1
     # "oph": one-permutation hashing with rotation densification (Li/
@@ -26,7 +35,7 @@ class DedupConfig:
     minhash_scheme: str = "oph"
     # --- LSH banding (P4) ---
     num_bands: int = 32           # b bands
-    rows_per_band: int = 4        # r rows;  b*r == num_perm
+    rows_per_band: int = 8        # r rows;  b*r == num_perm
     # --- candidate verification (P7) ---
     jaccard_tau: float = 0.7
     # --- skew handling (P6) ---
