@@ -5,9 +5,12 @@ Headline: images/sec of the full validation-gated dedup pipeline
 containment -> connected components) over a deterministic synthetic images
 table sized by $SPARK_GRAFT_SF_DIR (1M rows/sf-unit: sf0.1 -> 100k rows).
 
-Prints ONE JSON line:
+Prints the headline JSON line TWICE: once immediately after the main-phase
+timings (flushed, so a driver timeout during the scaling phase still yields
+the throughput numbers), and once — extended with the `scaling` record — as
+the final line when everything completes:
   {"metric": "images_per_sec", "value": N, "unit": "sec", "queries": {...},
-   "sf": ..., "scaling": {"t8": ..., "t32": ..., "efficiency": ...}}
+   "sf": ..., "scaling": {"thr_local1": ..., "thr_local4": ..., "efficiency": ...}}
 
 Scaling evidence (BASELINE.md): no real cluster in the sandbox, so the same
 job runs at two taskset-pinned parallelism levels (default local[1] ->
@@ -15,6 +18,17 @@ local[4]) on the same tmpfs input with identical partitioning; efficiency =
 (thr_4N / thr_N) / 4, equal clean-rep counts per level, reps gated on
 CPU-steal and memory-bandwidth probes before AND after each rep.
 Disable with SPARK_GRAFT_BENCH_SCALING=0.
+
+Wall-clock budget: the whole run is time-boxed by SPARK_GRAFT_BENCH_BUDGET
+seconds (default 2400, well under the driver's limit).  The scaling phase
+consumes what the main phase leaves, split between the two levels in
+proportion to their expected per-rep cost (~1/cores); each level's worker
+stops drawing reps when its share is exhausted and reports the best clean
+reps so far with `budget_exhausted: true` — a partial scaling record beats
+none (BENCH_r03 was rc=124/parsed-null exactly because the old layout
+printed nothing until the full scaling phase finished).  Budget checks gate
+*starting* a rep, never interrupt one, so the worst-case overshoot is one
+rep + teardown.
 """
 
 from __future__ import annotations
@@ -173,7 +187,9 @@ def _mem_bandwidth_gbs() -> float:
     return best
 
 
-def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None:
+def scale_worker(
+    cores: int, path: str, warm_path: str, partitions: int, deadline: float
+) -> None:
     """Child-process entry: pipeline timing at local[cores] on `path`.
 
     Measurement protocol (each point below was measured to matter on this
@@ -257,17 +273,29 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
     # fastest exceeds SPREAD_MAX the slow ones were storm-inflated — keep
     # drawing (bounded) until the `reps` fastest clean draws agree within
     # SPREAD_MAX.  HZ=100 (USER_HZ) jiffies, 32 host CPUs.
+    # WALL BUDGET (round-3 driver record was rc=124/parsed-null): `deadline`
+    # is a unix timestamp; before each attempt beyond the first timed rep,
+    # stop if the estimated rep cost (last observed duration, warm_full as
+    # the prior) would not fit.  The check gates STARTING a rep — a running
+    # rep is never interrupted — so overshoot is bounded by one rep.  The
+    # first timed rep always runs (a level with zero reps is worthless).
     SPREAD_MAX = 1.25
     times, steals, bands = [], [], []
     attempts, max_attempts = 0, reps + 4
     spread_ok = False
+    budget_exhausted = False
+    last_dt = warm_full
     while attempts < max_attempts:
+        if attempts >= 1 and time.time() + last_dt > deadline:
+            budget_exhausted = True
+            break
         attempts += 1
         bw0 = _mem_bandwidth_gbs()
         s0, t0 = _steal_jiffies_cores(cores), time.time()
         res = dedup_pipeline(df, CFG, collect_metrics=False)
         res.labels.count()
         dt = time.time() - t0
+        last_dt = dt
         # per-PINNED-core steal fraction (see _steal_jiffies_cores)
         steal_frac = (_steal_jiffies_cores(cores) - s0) / 100.0 / (dt * cores)
         res.cleanup()
@@ -284,17 +312,21 @@ def scale_worker(cores: int, path: str, warm_path: str, partitions: int) -> None
     if times:
         best = sorted(times)[:reps]
     else:  # every attempt ran dirty: report all draws anyway, flagged
-        best = [dt]
+        best = [last_dt]
     stop_spark(spark)
     print(json.dumps({
-        "seconds": min(best), "all": [round(t, 1) for t in sorted(times) or [dt]],
+        "seconds": min(best), "all": [round(t, 1) for t in sorted(times) or [last_dt]],
         "used": [round(t, 1) for t in best], "spread_ok": spread_ok,
+        "budget_exhausted": budget_exhausted,
         "warm_full": warm_full,
         "steal_frac": steals, "mem_gbs": bands, "rows": n,
     }))
 
 
 def main() -> None:
+    t_start = time.time()
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
+    deadline = t_start + budget
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
@@ -341,6 +373,23 @@ def main() -> None:
     shutdown_jvm()
     wall = timings["pipeline_full"]
     thr_main = total_rows / wall
+
+    out = {
+        "metric": "images_per_sec",
+        "value": round(thr_main, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": total_rows,
+        "valid_rows": n_valid,
+        "labeled_rows": n_labeled,
+        "cpus": cpus,
+    }
+    # EARLY FLUSH (round-3 driver record was rc=124 with parsed:null): emit
+    # the headline JSON line NOW, before the scaling phase, so a hard kill
+    # mid-scaling still leaves the driver a parseable throughput record.
+    # The final line (same record + `scaling`) supersedes it on success.
+    print(json.dumps(out), flush=True)
 
     scaling = None
     if do_scaling:
@@ -390,24 +439,41 @@ def main() -> None:
         taskset = shutil.which("taskset")
         thr = {}
         reps_all = {}
-        for cores in pair:
+        # split the REMAINING wall budget between the levels in proportion
+        # to expected per-rep cost (~1/cores: the slow level needs most of
+        # the time); each worker enforces its own share via `deadline`.
+        # Workers run slow-level-first so an overshoot squeezes the cheap
+        # level, not the expensive one.
+        lo, hi = pair
+        remaining = max(deadline - time.time(), 120.0 * len(pair))
+        w = {lo: 1.0 / lo, hi: 1.0 / hi}
+        w_sum = sum(w.values())
+        order = [lo, hi]  # lo (expensive) first
+        level_deadline = {}
+        t_cursor = time.time()
+        for cores in order:
+            share = remaining * w[cores] / w_sum
+            level_deadline[cores] = t_cursor + share
+            t_cursor += share
+        for cores in order:
             cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker",
-                   str(cores), shm_path, warm_path, str(partitions)]
+                   str(cores), shm_path, warm_path, str(partitions),
+                   f"{level_deadline[cores]:.1f}"]
             if taskset:
                 cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
-            out = subprocess.run(
+            proc = subprocess.run(
                 cmd, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
             thr[cores] = scale_rows / rec["seconds"]
             reps_all[cores] = {"seconds": rec.get("all", []),
                                "used": rec.get("used", []),
                                "spread_ok": rec.get("spread_ok"),
+                               "budget_exhausted": rec.get("budget_exhausted"),
                                "warm_full": rec.get("warm_full"),
                                "mem_gbs": rec.get("mem_gbs", []),
                                "steal": rec.get("steal_frac", [])}
-        lo, hi = pair
         eff = (thr[hi] / thr[lo]) / (hi / lo)
         scaling = {
             "rows": scale_rows,
@@ -416,6 +482,14 @@ def main() -> None:
             f"thr_local{hi}": round(thr[hi], 1),
             f"reps_local{lo}": reps_all.get(lo, []),
             f"reps_local{hi}": reps_all.get(hi, []),
+            "spread_ok": bool(
+                reps_all.get(lo, {}).get("spread_ok")
+                and reps_all.get(hi, {}).get("spread_ok")
+            ),
+            "budget_exhausted": bool(
+                reps_all.get(lo, {}).get("budget_exhausted")
+                or reps_all.get(hi, {}).get("budget_exhausted")
+            ),
             # efficiency > 1 is physically impossible for this workload —
             # it means the small level's draw was inflated by host noise
             # (co-tenant interference); cap and flag rather than report a
@@ -428,24 +502,15 @@ def main() -> None:
                 "noise; see BASELINE.md protocol"
             )
 
-    out = {
-        "metric": "images_per_sec",
-        "value": round(thr_main, 1),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "rows": total_rows,
-        "valid_rows": n_valid,
-        "labeled_rows": n_labeled,
-        "cpus": cpus,
-    }
     if scaling:
         out["scaling"] = scaling
-    print(json.dumps(out))
+    out["wall_total"] = round(time.time() - t_start, 1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5]))
+        scale_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4],
+                     int(sys.argv[5]), float(sys.argv[6]))
     else:
         main()
