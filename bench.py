@@ -109,7 +109,7 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), "events.parquet"
     )
     if os.path.exists(events_path):
-        from jsonschema_jl_spark.gate.gate import apply_gate
+        from jsonschema_jl_spark.gate.gate import GateMetrics, apply_gate
 
         ev = spark.read.parquet(events_path)
         dyn_schema = {
@@ -124,11 +124,15 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
         timings["gate_dynamic_rows"] = ev.count()
         # verdict-only fast path: certainly-INVALID rows also skip the dict
         # walk (corpus-cleaning shape: the rejected 5-30% were the slowest
-        # rows before this)
+        # rows before this).  The timed run carries GateMetrics accumulators
+        # (negligible overhead) so the screen hit-rate — the dynamic gate's
+        # cost multiplier — is observable per bench run.
         gate_filter(ev, dyn_schema, json_col="props").count()  # warm
+        gm = GateMetrics(spark)
         t0 = time.time()
-        gate_filter(ev, dyn_schema, json_col="props").count()
+        gate_filter(ev, dyn_schema, json_col="props", metrics=gm).count()
         timings["gate_dynamic_filter"] = round(time.time() - t0, 2)
+        timings["gate_dynamic_screen_rate"] = gm.as_dict()["screen_rate"]
 
     runs = []
     for _ in range(2):

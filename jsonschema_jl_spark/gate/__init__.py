@@ -12,6 +12,6 @@ Public surface mirrors the reference API (reference src/JSONSchema.jl:12
 
 from jsonschema_jl_spark.gate.schema import Schema
 from jsonschema_jl_spark.gate.validator import Issue, validate, is_valid, diagnose
-from jsonschema_jl_spark.gate.gate import apply_gate
+from jsonschema_jl_spark.gate.gate import GateMetrics, apply_gate, gate_filter
 
-__all__ = ["Schema", "Issue", "validate", "is_valid", "diagnose", "apply_gate"]
+__all__ = ["Schema", "Issue", "validate", "is_valid", "diagnose", "apply_gate", "gate_filter", "GateMetrics"]

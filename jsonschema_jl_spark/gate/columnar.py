@@ -2,13 +2,15 @@
 
 The dynamic gate's exact backend is a per-row dict-tree walk (json.loads +
 keyword dispatch) — correct but the slowest kernel per core in the engine.
-For the common flat-object schemas (type/required/properties with scalar
-keyword checks), this module screens whole Arrow batches columnar-ly:
+For common object schemas (type/required/properties with scalar keyword
+checks, array-of-scalar `items`/`minItems`/`maxItems`, and one-level nested
+`properties`), this module screens whole Arrow batches columnar-ly:
 
   1. the batch's JSON texts are parsed ONCE by pyarrow.json.read_json
      (C++, simdjson-class throughput) into a columnar table;
   2. each planned property runs vectorized checks (pyarrow.compute /
-     numpy) over its column;
+     numpy) over its column — list columns flatten once and run the scalar
+     element checks over the flat values; struct columns run them per field;
   3. rows the screen proves CERTAINLY VALID get a NULL issue with no Python
      per-row work; rows it proves CERTAINLY INVALID can — in verdict-only
      consumers like `gate_filter`, where the issue struct is dropped — skip
@@ -36,8 +38,15 @@ Known pyarrow.json behaviors relied on (probed on pyarrow 16, see tests):
     blank interior lines -> batch-level ArrowInvalid => full fallback;
   * ints beyond int64 silently become double => the +-2^53 magnitude gate
     refuses to screen such columns;
-  * ISO-date-like strings are inferred as timestamp => unhandled type =>
-    fallback.
+  * ISO-date-like strings are inferred as timestamp => the original JSON
+    value WAS a string, so type/length/pattern can't be judged from the
+    inferred column => fallback;
+  * nested objects parse as struct columns whose field set is the UNION of
+    keys across rows — a field missing from the struct TYPE is proven
+    absent in every row, while a null field cell is absent-OR-null (same
+    ambiguity as a top-level null, resolved the same way);
+  * arrays parse as list columns; a null list slot is absent-OR-null; null
+    ELEMENTS inside a list are genuine JSON nulls (no absent reading).
 """
 
 from __future__ import annotations
@@ -56,6 +65,11 @@ _ALLOWED_KW = {
     "type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "minLength", "maxLength", "pattern", "enum", "const",
 }
+# array-of-scalar and one-level-nested-object property subschemas are also
+# screenable (round-4 extension): pyarrow parses them into list / struct
+# columns whose element/field checks reuse the scalar kernel
+_ALLOWED_KW_ARRAY = {"type", "items", "minItems", "maxItems"}
+_ALLOWED_KW_OBJECT = {"type", "required", "properties"}
 _SCALAR_TYPES = {"integer", "number", "string", "boolean"}
 
 
@@ -67,17 +81,70 @@ def _is_exact_number(v: Any) -> bool:
     )
 
 
+def _enum_of(sub: dict) -> list | None:
+    return sub.get("enum", [sub["const"]] if "const" in sub else None)
+
+
+def _null_invalid(sub: dict) -> bool:
+    """Does an explicit JSON null definitively fail this subschema?  (null
+    fails any `type`, and a None-free enum/const.)"""
+    if sub.get("type") is not None:
+        return True
+    allowed = _enum_of(sub)
+    return allowed is not None and not any(e is None for e in allowed)
+
+
+def _plan_scalar(sub: dict) -> bool:
+    """Eligibility of a scalar subschema for vectorized checking."""
+    if set(sub) - _ALLOWED_KW:
+        return False
+    t = sub.get("type")
+    if t is not None and t not in _SCALAR_TYPES:
+        return False
+    for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+        if kw in sub and not _is_exact_number(sub[kw]):
+            return False  # incl. draft-4 bool exclusive* forms
+    for kw in ("minLength", "maxLength"):
+        if kw in sub and (isinstance(sub[kw], bool) or not isinstance(sub[kw], int)):
+            return False
+    if "pattern" in sub:
+        if not isinstance(sub["pattern"], str):
+            return False
+        try:
+            re.compile(sub["pattern"])
+        except re.error:
+            return False
+    allowed = _enum_of(sub)
+    if allowed is not None:
+        if not isinstance(allowed, list):
+            return False
+        for e in allowed:
+            if isinstance(e, (list, dict)):
+                return False
+            if isinstance(e, (int, float)) and not isinstance(e, bool) \
+                    and not _is_exact_number(e):
+                return False
+    return True
+
+
+def _count_int(v: Any) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
 def plan_screen(schema_data: Any) -> dict | None:
     """Compile a screening plan, or None when the schema is not screenable.
 
     The plan maps property name -> (subschema, null_ok, required,
-    null_invalid) where null_ok means "a row whose field is null-or-absent
-    is certainly valid" (requires the absent verdict AND the null verdict to
-    both be valid — pyarrow cannot distinguish the two); `required` is the
-    absent verdict's invalidity, and `null_invalid` the explicit-null
-    verdict's (null fails a scalar `type` or a None-free enum/const), so
-    `required and null_invalid` symmetrically means "null-or-absent is
-    certainly INVALID"."""
+    null_invalid, extra) where null_ok means "a row whose field is
+    null-or-absent is certainly valid" (requires the absent verdict AND the
+    null verdict to both be valid — pyarrow cannot distinguish the two);
+    `required` is the absent verdict's invalidity, and `null_invalid` the
+    explicit-null verdict's (null fails a `type` or a None-free
+    enum/const), so `required and null_invalid` symmetrically means
+    "null-or-absent is certainly INVALID".  `extra` is None for scalar
+    properties, ("array", items_sub_or_None) for array-of-scalar
+    properties, or ("object", nested_plan) for one-level nested objects —
+    the nested plan reuses the same 4 flag semantics per field."""
     if not isinstance(schema_data, dict):
         return None
     if set(schema_data) - _ALLOWED_TOP:
@@ -91,45 +158,57 @@ def plan_screen(schema_data: Any) -> dict | None:
     if not isinstance(props, dict):
         return None
 
-    plan: dict[str, tuple[dict, bool, bool, bool]] = {}
+    plan: dict[str, tuple] = {}
     req_set = set(req)
     for name, sub in props.items():
-        if not isinstance(sub, dict) or (set(sub) - _ALLOWED_KW):
+        if not isinstance(sub, dict):
             return None
         t = sub.get("type")
-        if t is not None and t not in _SCALAR_TYPES:
-            return None
-        for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
-            if kw in sub and not _is_exact_number(sub[kw]):
-                return None  # incl. draft-4 bool exclusive* forms
-        for kw in ("minLength", "maxLength"):
-            if kw in sub and (isinstance(sub[kw], bool) or not isinstance(sub[kw], int)):
+        extra = None
+        if t == "array":
+            if set(sub) - _ALLOWED_KW_ARRAY:
                 return None
-        if "pattern" in sub:
-            if not isinstance(sub["pattern"], str):
-                return None
-            try:
-                re.compile(sub["pattern"])
-            except re.error:
-                return None
-        allowed = sub.get("enum", [sub["const"]] if "const" in sub else None)
-        if allowed is not None:
-            if not isinstance(allowed, list):
-                return None
-            for e in allowed:
-                if isinstance(e, (list, dict)):
+            for kw in ("minItems", "maxItems"):
+                if kw in sub and not _count_int(sub[kw]):
                     return None
-                if isinstance(e, (int, float)) and not isinstance(e, bool) \
-                        and not _is_exact_number(e):
+            items = sub.get("items")
+            if items is not None:
+                # single-schema items of scalar shape only; tuple items /
+                # bool items / additionalItems are walk territory
+                if not isinstance(items, dict) or not _plan_scalar(items):
                     return None
-        # null-or-absent verdict: valid only if BOTH interpretations are
-        # valid — not required (absent ok) and null passes every check;
-        # symmetrically, certainly-invalid only if BOTH are invalid
-        null_invalid = t is not None  # null fails any scalar type
-        if allowed is not None and not any(e is None for e in allowed):
-            null_invalid = True
+            extra = ("array", items)
+        elif t == "object":
+            if set(sub) - _ALLOWED_KW_OBJECT:
+                return None
+            nreq = sub.get("required", [])
+            if not isinstance(nreq, list) or not all(isinstance(r, str) for r in nreq):
+                return None
+            nprops = sub.get("properties", {})
+            if not isinstance(nprops, dict):
+                return None
+            nested: dict[str, tuple] = {}
+            nreq_set = set(nreq)
+            for fname, fsub in nprops.items():
+                if not isinstance(fsub, dict) or not _plan_scalar(fsub):
+                    return None
+                f_ninv = _null_invalid(fsub)
+                nested[fname] = (
+                    fsub, fname not in nreq_set and not f_ninv,
+                    fname in nreq_set, f_ninv,
+                )
+            for rname in nreq:
+                if rname not in nested:
+                    # required nested field w/o property: absent -> invalid,
+                    # null -> valid; a null cell is ambiguous -> row walks
+                    nested[rname] = ({}, False, True, False)
+            extra = ("object", nested)
+        else:
+            if not _plan_scalar(sub):
+                return None
+        null_invalid = _null_invalid(sub)
         null_ok = name not in req_set and not null_invalid
-        plan[name] = (sub, null_ok, name in req_set, null_invalid)
+        plan[name] = (sub, null_ok, name in req_set, null_invalid, extra)
 
     # required fields without a properties entry: absent -> invalid,
     # null -> valid; screening can't tell them apart, so such rows walk
@@ -137,12 +216,224 @@ def plan_screen(schema_data: Any) -> dict | None:
     # then proven, handled in screen_batch)
     for r in req:
         if r not in plan:
-            plan[r] = ({}, False, True, False)
+            plan[r] = ({}, False, True, False, None)
     return plan
 
 
 def _to_np(arrow_bool) -> np.ndarray:
     return arrow_bool.fill_null(False).to_numpy(zero_copy_only=False)
+
+
+def _scalar_masks(arr, sub: dict) -> np.ndarray | None:
+    """Definitive-failure mask over `arr`'s values under scalar subschema
+    `sub`.  Bits are set only for PRESENT (non-null) values — null slots are
+    judged by the caller, which knows whether null means absent-or-null (a
+    column cell) or a genuine JSON null (a list element).  Returns None when
+    the whole batch must fall back (numbers beyond the float64-exact range,
+    timestamp-inferred strings)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = len(arr)
+    t = arr.type
+    if pa.types.is_null(t):
+        return np.zeros(m, dtype=bool)
+    is_num = pa.types.is_integer(t) or pa.types.is_floating(t)
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    is_bool = pa.types.is_boolean(t)
+    nullm = arr.is_null().to_numpy(zero_copy_only=False)
+    present = ~nullm
+    if not (is_num or is_str or is_bool):
+        if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+            # pyarrow inferred a timestamp from an ISO-date-like STRING: the
+            # JSON value was a string, so type/length/pattern verdicts can't
+            # be derived from the inferred column
+            return None
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_struct(t):
+            # genuine JSON array/object value under a scalar subschema: any
+            # scalar `type` and any all-scalar enum/const definitively fail;
+            # range/length/pattern apply only to matching primitive types,
+            # so with neither the value passes every planned check
+            if "type" in sub or _enum_of(sub) is not None:
+                return present.copy()
+            return np.zeros(m, dtype=bool)
+        return None  # unexpected inference — walk
+    bad = np.zeros(m, dtype=bool)
+
+    arrf = None
+    if is_num:
+        # exact-integer range gate: ints beyond 2^53 (or doubles pyarrow
+        # silently demoted huge JSON ints into) can't be compared exactly
+        mm = pc.min_max(arr).as_py()
+        if mm["min"] is not None and (
+            abs(mm["min"]) > _MAX_EXACT or abs(mm["max"]) > _MAX_EXACT
+        ):
+            return None
+        arrf = pc.cast(arr, pa.float64())
+
+    typ = sub.get("type")
+    if typ == "integer":
+        if is_num:
+            if pa.types.is_floating(t):
+                bad |= _to_np(pc.not_equal(arr, pc.floor(arr)))
+        else:
+            bad |= present
+    elif typ == "number":
+        if not is_num:
+            bad |= present
+    elif typ == "string":
+        if not is_str:
+            bad |= present
+    elif typ == "boolean":
+        if not is_bool:
+            bad |= present
+
+    if is_num:
+        if "minimum" in sub:
+            bad |= _to_np(pc.less(arrf, float(sub["minimum"])))
+        if "maximum" in sub:
+            bad |= _to_np(pc.greater(arrf, float(sub["maximum"])))
+        if "exclusiveMinimum" in sub:
+            bad |= _to_np(pc.less_equal(arrf, float(sub["exclusiveMinimum"])))
+        if "exclusiveMaximum" in sub:
+            bad |= _to_np(pc.greater_equal(arrf, float(sub["exclusiveMaximum"])))
+    if is_str:
+        if "minLength" in sub:
+            bad |= _to_np(pc.less(pc.utf8_length(arr), sub["minLength"]))
+        if "maxLength" in sub:
+            bad |= _to_np(pc.greater(pc.utf8_length(arr), sub["maxLength"]))
+        if "pattern" in sub:
+            s = pd.Series(arr.to_pandas(), copy=False).astype(object)
+            hit = s.str.contains(sub["pattern"], regex=True, na=False)
+            bad |= ~hit.to_numpy(dtype=bool)
+
+    allowed = _enum_of(sub)
+    if allowed is not None:
+        if is_bool:
+            permitted = {e for e in allowed if isinstance(e, bool)}
+            v = _to_np(arr)
+            hit = np.zeros(m, dtype=bool)
+            if True in permitted:
+                hit |= v & present
+            if False in permitted:
+                hit |= (~v) & present
+            bad |= ~hit
+        elif is_num:
+            import pyarrow as _pa
+
+            nums = [
+                float(e) for e in allowed
+                if isinstance(e, (int, float)) and not isinstance(e, bool)
+            ]
+            bad |= ~_to_np(
+                pc.is_in(arrf, value_set=_pa.array(nums, _pa.float64()))
+            )
+        elif is_str:
+            import pyarrow as _pa
+
+            strs = [e for e in allowed if isinstance(e, str)]
+            bad |= ~_to_np(pc.is_in(arr, value_set=_pa.array(strs, t)))
+
+    # every `bad` bit above is a DEFINITIVE keyword failure on a present
+    # value (wrong-typed column, range/length/pattern/enum miss, float
+    # with a fractional part vs `type: integer`) — the same checks the
+    # exact walk runs, just vectorized
+    return bad & present
+
+
+def _array_masks(arr, sub: dict) -> tuple[np.ndarray, np.ndarray] | None:
+    """(bad, ambiguous) over an array-typed property's column; bits only on
+    present slots.  None -> batch fallback."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = len(arr)
+    zeros = np.zeros(m, dtype=bool)
+    t = arr.type
+    if pa.types.is_null(t):
+        return zeros, zeros.copy()
+    present = ~arr.is_null().to_numpy(zero_copy_only=False)
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+            return None
+        # any non-list parse means the JSON value was not an array ->
+        # definitive `type` failure
+        return present.copy(), zeros
+    bad = np.zeros(m, dtype=bool)
+    counts = pc.list_value_length(arr).fill_null(0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    if "minItems" in sub:
+        bad |= present & (counts < sub["minItems"])
+    if "maxItems" in sub:
+        bad |= present & (counts > sub["maxItems"])
+    items = sub.get("items")
+    if isinstance(items, dict) and items:
+        vals = pc.list_flatten(arr)  # skips null slots, matching fill_null(0)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if int(counts.sum()) != len(vals):
+            # alignment probe: flatten and value-length must agree on the
+            # element layout (they do on pyarrow 16; a future change walks)
+            return None
+        ebad = _scalar_masks(vals, items)
+        if ebad is None:
+            return None
+        # a null ELEMENT is a genuine JSON null (no absent reading inside a
+        # list): it definitively fails items' `type`/None-free enum, and
+        # definitively passes otherwise (range/length/pattern apply only to
+        # matching primitive types)
+        if _null_invalid(items):
+            ebad = ebad | vals.is_null().to_numpy(zero_copy_only=False)
+        if len(vals):
+            rows = np.repeat(np.arange(m, dtype=np.int64), counts)
+            hits = np.bincount(rows[ebad], minlength=m) > 0
+            bad |= hits & present
+    return bad, zeros
+
+
+def _object_masks(arr, nested: dict) -> tuple[np.ndarray, np.ndarray] | None:
+    """(bad, ambiguous) over a one-level-nested object property's column;
+    bits only on present slots.  None -> batch fallback."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = len(arr)
+    zeros = np.zeros(m, dtype=bool)
+    t = arr.type
+    if pa.types.is_null(t):
+        return zeros, zeros.copy()
+    present = ~arr.is_null().to_numpy(zero_copy_only=False)
+    if not pa.types.is_struct(t):
+        if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+            return None
+        return present.copy(), zeros  # non-object value fails `type: object`
+    bad = np.zeros(m, dtype=bool)
+    amb = np.zeros(m, dtype=bool)
+    fields = {t.field(i).name for i in range(t.num_fields)}
+    for fname, (fsub, f_null_ok, f_req, f_null_inv) in nested.items():
+        if fname not in fields:
+            # the struct TYPE is the union of keys across rows: a field
+            # absent from the type is absent in EVERY row -> required fails
+            # definitively wherever the outer object is present
+            if f_req:
+                bad |= present
+            continue
+        child = pc.struct_field(arr, fname)
+        if isinstance(child, pa.ChunkedArray):
+            child = child.combine_chunks()
+        # child null where outer present = field null-or-absent (ambiguous,
+        # same as a top-level null cell)
+        cnull = child.is_null().to_numpy(zero_copy_only=False) & present
+        if f_req and f_null_inv:
+            bad |= cnull
+        elif not f_null_ok:
+            amb |= cnull
+        cbad = _scalar_masks(child, fsub)
+        if cbad is None:
+            return None
+        bad |= cbad & present
+    return bad, amb
 
 
 def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] | None:
@@ -152,7 +443,6 @@ def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] |
     issue detail — consume it only where the verdict alone suffices
     (gate_filter)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     from pyarrow import json as pajson
 
     n = len(raws)
@@ -197,7 +487,7 @@ def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] |
     ok = np.ones(idx.size, dtype=bool)
     inv = np.zeros(idx.size, dtype=bool)
     names = set(tbl.schema.names)
-    for name, (sub, null_ok, required, null_invalid) in plan.items():
+    for name, (sub, null_ok, required, null_invalid, extra) in plan.items():
         if name not in names:
             # no row mentions the key at all (an explicit `"k": null` would
             # have produced a null-typed column, so column absence proves
@@ -211,12 +501,22 @@ def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] |
         arr = tbl.column(name)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        t = arr.type
-        is_num = pa.types.is_integer(t) or pa.types.is_floating(t)
-        is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
-        is_bool = pa.types.is_boolean(t)
-        if not (is_num or is_str or is_bool or pa.types.is_null(t)):
-            return None  # nested / timestamp-inferred / unexpected
+        if extra is None:
+            bad = _scalar_masks(arr, sub)
+            if bad is None:
+                return None
+            amb = None
+        elif extra[0] == "array":
+            res = _array_masks(arr, sub)
+            if res is None:
+                return None
+            bad, amb = res
+        else:  # ("object", nested_plan)
+            res = _object_masks(arr, extra[1])
+            if res is None:
+                return None
+            bad, amb = res
+
         nullm = arr.is_null().to_numpy(zero_copy_only=False)
         if not null_ok:
             ok &= ~nullm
@@ -224,87 +524,9 @@ def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] |
             # both readings of a null cell (explicit null / absent key) are
             # invalid under this property -> definitive
             inv |= nullm
-        if pa.types.is_null(t):
-            continue
-        present = ~nullm
-        bad = np.zeros(idx.size, dtype=bool)
-
-        arrf = None
-        if is_num:
-            # exact-integer range gate: ints beyond 2^53 (or doubles pyarrow
-            # silently demoted huge JSON ints into) can't be compared exactly
-            mm = pc.min_max(arr).as_py()
-            if mm["min"] is not None and (
-                abs(mm["min"]) > _MAX_EXACT or abs(mm["max"]) > _MAX_EXACT
-            ):
-                return None
-            arrf = pc.cast(arr, pa.float64())
-
-        typ = sub.get("type")
-        if typ == "integer":
-            if is_num:
-                if pa.types.is_floating(t):
-                    bad |= _to_np(pc.not_equal(arr, pc.floor(arr)))
-            else:
-                bad |= present
-        elif typ == "number":
-            if not is_num:
-                bad |= present
-        elif typ == "string":
-            if not is_str:
-                bad |= present
-        elif typ == "boolean":
-            if not is_bool:
-                bad |= present
-
-        if is_num:
-            if "minimum" in sub:
-                bad |= _to_np(pc.less(arrf, float(sub["minimum"])))
-            if "maximum" in sub:
-                bad |= _to_np(pc.greater(arrf, float(sub["maximum"])))
-            if "exclusiveMinimum" in sub:
-                bad |= _to_np(pc.less_equal(arrf, float(sub["exclusiveMinimum"])))
-            if "exclusiveMaximum" in sub:
-                bad |= _to_np(pc.greater_equal(arrf, float(sub["exclusiveMaximum"])))
-        if is_str:
-            if "minLength" in sub:
-                bad |= _to_np(pc.less(pc.utf8_length(arr), sub["minLength"]))
-            if "maxLength" in sub:
-                bad |= _to_np(pc.greater(pc.utf8_length(arr), sub["maxLength"]))
-            if "pattern" in sub:
-                s = pd.Series(arr.to_pandas(), copy=False).astype(object)
-                hit = s.str.contains(sub["pattern"], regex=True, na=False)
-                bad |= ~hit.to_numpy(dtype=bool)
-
-        allowed = sub.get("enum", [sub["const"]] if "const" in sub else None)
-        if allowed is not None:
-            if is_bool:
-                permitted = {e for e in allowed if isinstance(e, bool)}
-                v = _to_np(arr)
-                hit = np.zeros(idx.size, dtype=bool)
-                if True in permitted:
-                    hit |= v & present
-                if False in permitted:
-                    hit |= (~v) & present
-                bad |= ~hit
-            elif is_num:
-                nums = [
-                    float(e) for e in allowed
-                    if isinstance(e, (int, float)) and not isinstance(e, bool)
-                ]
-                bad |= ~_to_np(
-                    pc.is_in(arrf, value_set=pa.array(nums, pa.float64()))
-                )
-            elif is_str:
-                strs = [e for e in allowed if isinstance(e, str)]
-                bad |= ~_to_np(pc.is_in(arr, value_set=pa.array(strs, t)))
-
-        # every `bad` bit above is a DEFINITIVE keyword failure on a present
-        # value (wrong-typed column, range/length/pattern/enum miss, float
-        # with a fractional part vs `type: integer`) — the same checks the
-        # exact walk runs, just vectorized — so it feeds both masks
-        bad &= present
         ok &= ~bad
+        if amb is not None:
+            ok &= ~amb
         inv |= bad
 
     out[idx] = ok

@@ -66,8 +66,56 @@ _SCREEN_ISSUE = {
 }
 
 
+class GateMetrics:
+    """Screen/walk coverage counters for the dynamic (UDF-backed) gate.
+
+    Spark accumulators, so counts aggregate across all executors and ship
+    back with task results — zero extra actions, negligible overhead.  Pass
+    an instance to `apply_gate`/`gate_filter` via `metrics=`, run an action,
+    then read `as_dict()`:
+
+        m = GateMetrics(spark)
+        gate_filter(df, schema, json_col="props", metrics=m).count()
+        m.as_dict()  # {'screened_valid': ..., 'screened_invalid': ...,
+                     #  'walked': ..., 'fallback_rows': ..., 'screen_rate': ...}
+
+    screened_valid / screened_invalid are rows the columnar screen decided
+    without the per-row dict walk (invalid only counts in verdict-only
+    consumers like gate_filter); walked are rows that ran the exact walk;
+    fallback_rows are rows of batches the screen refused entirely (a subset
+    of walked).  The native typed-column gate has no Python stage, so these
+    counters stay zero there — the screen is the DYNAMIC gate's multiplier
+    and this is the regression signal for it (VERDICT round-3 ask #4).
+
+    NOTE: one Spark ACTION may evaluate the UDF more than once (e.g. a
+    query that both filters and counts the same stage twice without a
+    cache); treat ratios, not absolute counts, as the stable signal.
+    """
+
+    def __init__(self, spark_or_sc):
+        sc = getattr(spark_or_sc, "sparkContext", spark_or_sc)
+        self.screened_valid = sc.accumulator(0)
+        self.screened_invalid = sc.accumulator(0)
+        self.walked = sc.accumulator(0)
+        self.fallback_rows = sc.accumulator(0)
+
+    def as_dict(self) -> dict:
+        sv = self.screened_valid.value
+        si = self.screened_invalid.value
+        w = self.walked.value
+        total = sv + si + w
+        return {
+            "screened_valid": sv,
+            "screened_invalid": si,
+            "walked": w,
+            "fallback_rows": self.fallback_rows.value,
+            "screen_rate": round((sv + si) / total, 4) if total else None,
+        }
+
+
 def _gate_rows(
-    s: pd.Series, schema_data: Any, plan, verdict_only: bool = False
+    s: pd.Series, schema_data: Any, plan, verdict_only: bool = False,
+    metrics: "GateMetrics | None" = None,
 ) -> pd.DataFrame:
     """One batch of JSON texts -> issue records.  When the schema has a
     columnar screening plan, the batch is parsed once by pyarrow and rows
@@ -87,6 +135,9 @@ def _gate_rows(
     cols = {f: np.full(n, None, dtype=object) for f in _ISSUE_FIELDS}
     if masks is None:
         walk_idx = range(n)
+        if metrics is not None:
+            metrics.fallback_rows.add(n)
+            metrics.walked.add(n)
     else:
         certainly_valid, certainly_invalid = masks
         if verdict_only:
@@ -94,8 +145,13 @@ def _gate_rows(
             for i in np.flatnonzero(certainly_invalid):
                 for f in _ISSUE_FIELDS:
                     cols[f][i] = _SCREEN_ISSUE[f]
+            if metrics is not None:
+                metrics.screened_invalid.add(int(certainly_invalid.sum()))
         else:
             walk_idx = np.flatnonzero(~certainly_valid)
+        if metrics is not None:
+            metrics.screened_valid.add(int(certainly_valid.sum()))
+            metrics.walked.add(int(len(walk_idx)))
     for i in walk_idx:
         raw = vals[i]
         if raw is None:
@@ -116,14 +172,19 @@ def _gate_rows(
     return pd.DataFrame(cols)
 
 
-def _make_gate_udf(schema_data: Any, verdict_only: bool = False):
+def _make_gate_udf(
+    schema_data: Any, verdict_only: bool = False, metrics: GateMetrics | None = None
+):
     """Arrow-batched scalar pandas UDF: JSON text -> issue struct.
 
     The compiled schema dict (and its columnar screening plan, when one
     exists) is captured by closure and shipped once per task via the
     pickled UDF (broadcast-equivalent in local mode).  Absent keys stay
     absent (json.loads dict), so required/absent-vs-null semantics match
-    the reference exactly (src/validation.jl:755-766)."""
+    the reference exactly (src/validation.jl:755-766).  `metrics`
+    accumulators (also closure-captured; accumulators pickle as ids and
+    ship worker-side updates back with task results) count the
+    screen/walk split per batch."""
     from jsonschema_jl_spark.gate.columnar import plan_screen
 
     plan = plan_screen(schema_data)
@@ -131,7 +192,9 @@ def _make_gate_udf(schema_data: Any, verdict_only: bool = False):
     @F.pandas_udf(ISSUE_TYPE)
     def gate_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in batch_iter:
-            yield _gate_rows(s, schema_data, plan, verdict_only=verdict_only)
+            yield _gate_rows(
+                s, schema_data, plan, verdict_only=verdict_only, metrics=metrics
+            )
 
     return gate_udf
 
@@ -141,6 +204,7 @@ def compile_issue_column(
     schema: Schema | dict | bool | str,
     json_col: str | None = None,
     verdict_only: bool = False,
+    metrics: GateMetrics | None = None,
 ) -> tuple[Column, bool]:
     """Return (issue Column, used_native).  verdict_only allows the columnar
     screen to short-circuit certainly-invalid rows with a placeholder issue
@@ -148,13 +212,13 @@ def compile_issue_column(
     if not isinstance(schema, Schema):
         schema = Schema(schema)
     if json_col is not None:
-        udf = _make_gate_udf(schema.data, verdict_only=verdict_only)
+        udf = _make_gate_udf(schema.data, verdict_only=verdict_only, metrics=metrics)
         return udf(F.col(json_col)), False
     try:
         checks = compile_native_checks(schema, df.schema)
         return checks_to_issue_column(checks), True
     except NotNativelyCompilable:
-        udf = _make_gate_udf(schema.data, verdict_only=verdict_only)
+        udf = _make_gate_udf(schema.data, verdict_only=verdict_only, metrics=metrics)
         return udf(F.to_json(F.struct(*[F.col(c) for c in df.columns]))), False
 
 
@@ -165,10 +229,14 @@ def apply_gate(
     issue_col: str = "issue",
     valid_col: str = "isvalid",
     _verdict_only: bool = False,
+    metrics: GateMetrics | None = None,
 ) -> DataFrame:
-    """Annotate every row with its first validation issue (or NULL)."""
+    """Annotate every row with its first validation issue (or NULL).
+    `metrics` (optional GateMetrics) counts the columnar-screen/dict-walk
+    split when the dynamic UDF backend runs; the native typed backend has
+    no Python stage and leaves it untouched."""
     issue, used_native = compile_issue_column(
-        df, schema, json_col, verdict_only=_verdict_only
+        df, schema, json_col, verdict_only=_verdict_only, metrics=metrics
     )
     if not used_native:
         # UDF returns a struct of NULL fields for valid rows; normalize to a
@@ -184,6 +252,7 @@ def gate_filter(
     df: DataFrame,
     schema: Schema | dict | bool | str,
     json_col: str | None = None,
+    metrics: GateMetrics | None = None,
 ) -> DataFrame:
     """Keep only valid rows.  Native schemas become plain pushdown-capable
     predicates; residual schemas get a native necessary-condition prefilter
@@ -205,5 +274,6 @@ def gate_filter(
     gated = apply_gate(
         df, schema, json_col=json_col, issue_col="__issue", valid_col="__ok",
         _verdict_only=True,  # issue struct dropped below: the columnar
-    )                        # screen may fast-reject certainly-invalid rows
+        metrics=metrics,     # screen may fast-reject certainly-invalid rows
+    )
     return gated.filter(F.col("__ok")).drop("__issue", "__ok")

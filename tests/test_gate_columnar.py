@@ -232,3 +232,247 @@ def test_pyarrow_null_column_probe():
     assert "b" in tbl.schema.names  # explicit null keeps the column
     tbl2 = pajson.read_json(io.BytesIO(b'{"a": 1}\n{"a": 2}'))
     assert "b" not in tbl2.schema.names  # truly absent key -> no column
+
+
+# ---------------------------------------------------------------------------
+# round-4 extension: array-of-scalar and one-level nested-object screening
+
+ARRAYED = {
+    "type": "object",
+    "required": ["tags"],
+    "properties": {
+        "tags": {"type": "array", "minItems": 1, "maxItems": 4,
+                 "items": {"type": "string", "minLength": 2}},
+        "nums": {"type": "array", "items": {"type": "integer", "minimum": 0}},
+    },
+}
+
+NESTED = {
+    "type": "object",
+    "required": ["meta"],
+    "properties": {
+        "meta": {
+            "type": "object",
+            "required": ["w"],
+            "properties": {
+                "w": {"type": "integer", "minimum": 1},
+                "fmt": {"enum": ["png", "jpeg"]},
+            },
+        },
+        "k": {"type": "integer"},
+    },
+}
+
+_ARR_POOLS = {
+    "strs_ok": [["ab", "cde"], ["xy"], ["abcd", "ef", "gh", "ij"]],
+    "strs_short": [["a"], ["ab", "x"]],
+    "too_many": [["ab", "cd", "ef", "gh", "ij"]],
+    "empty": [[]],
+    "ints": [[1, 2], [0]],
+    "with_null": [["ab", None], [None]],
+    "scalar": ["ab", "xyz"],  # homogeneous: mixed types abort the parse
+    "nested_arr": [[["a"]], [[1, 2]]],
+    "null": [None],
+}
+
+_META_POOLS = {
+    "ok": [{"w": 3}, {"w": 1, "fmt": "png"}, {"w": 9, "fmt": "jpeg"}],
+    "bad_w": [{"w": 0}, {"w": -2, "fmt": "png"}, {"w": 2.5}],
+    "bad_fmt": [{"w": 2, "fmt": "bmp"}, {"w": 2, "fmt": 3}],
+    "missing_w": [{}, {"fmt": "png"}],
+    "null_w": [{"w": None}],
+    "scalar": ["x", "yy"],
+    "null": [None],
+}
+
+
+def _rows_for(rng: random.Random, n: int, pools: dict, field: str) -> list:
+    pool = rng.choice(list(pools))
+    # one homogeneous type per batch for the extra column — mixed types
+    # abort the whole batch's pyarrow parse (full fallback), which is its
+    # own (already-covered) path
+    extra_pool = rng.choice([[1, 7], [2.5, 3.5], ["x", "y"], [None]])
+    rows = []
+    for _ in range(n):
+        r = rng.randrange(10)
+        obj = {}
+        if r >= 2:  # else absent
+            obj[field] = rng.choice(pools[pool])
+        if rng.randrange(3) == 0:
+            obj["k" if field != "k" else "j"] = rng.choice(extra_pool)
+        rows.append(json.dumps(obj))
+    return rows
+
+
+@pytest.mark.parametrize(
+    "schema,pools,field",
+    [(ARRAYED, _ARR_POOLS, "tags"), (NESTED, _META_POOLS, "meta")],
+)
+def test_screen_extended_differential(schema, pools, field):
+    """Array / nested-object screening: full-detail and verdict-only outputs
+    must match the exact walk row-for-row over homogeneous batches of every
+    pool shape (wrong types, nulls, short/long arrays, missing nested
+    required, null elements...)."""
+    data = Schema(schema).data
+    plan = plan_screen(data)
+    assert plan is not None, "extended shapes must be plan-eligible"
+    for seed in range(40):
+        rng = random.Random(5000 + seed)
+        s = pd.Series(_rows_for(rng, 60, pools, field), dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+        fast_v = _gate_rows(s, data, plan, verdict_only=True)
+        pd.testing.assert_series_equal(
+            fast_v["reason"].isna(), slow["reason"].isna()
+        )
+
+
+@pytest.mark.parametrize(
+    "schema,pools,field",
+    [(ARRAYED, _ARR_POOLS, "tags"), (NESTED, _META_POOLS, "meta")],
+)
+def test_screen_extended_soundness_and_engagement(schema, pools, field):
+    """Both mask directions verified against the exact validator, and the
+    screen must actually ENGAGE on these shapes (not silently fall back —
+    a fallback-everything implementation passes the differential
+    vacuously)."""
+    data = Schema(schema).data
+    plan = plan_screen(data)
+    engaged = certified = rejected = 0
+    for seed in range(40):
+        rng = random.Random(9100 + seed)
+        s = pd.Series(_rows_for(rng, 60, pools, field), dtype=object)
+        masks = screen_batch(s, plan)
+        if masks is None:
+            continue
+        engaged += 1
+        valid, invalid = masks
+        assert not (valid & invalid).any()
+        for i in np.flatnonzero(valid):
+            assert _issue_record(json.loads(s.iloc[i]), data) is None, s.iloc[i]
+            certified += 1
+        for i in np.flatnonzero(invalid):
+            assert _issue_record(json.loads(s.iloc[i]), data) is not None, s.iloc[i]
+            rejected += 1
+    # engagement floor: most homogeneous batches engage; certification is
+    # rarer by design — a row certifies only when every type-constrained
+    # optional field is PRESENT (a missing key is an ambiguous null cell:
+    # absent would be valid, explicit null would not)
+    assert engaged >= 25
+    assert certified >= 10 and rejected >= 200
+
+
+def test_screen_array_crafted_verdicts():
+    """Crafted rows with known verdicts, each screened in its own
+    homogeneous batch (pyarrow aborts on cross-row type mixes): the screen
+    must DEFINITIVELY classify each (no walking), proving the list kernel's
+    per-element aggregation and count checks."""
+    data = Schema(ARRAYED).data
+    plan = plan_screen(data)
+    cases = [
+        ({"tags": ["ab", "cd"]}, True),
+        ({"tags": ["ab"], "nums": [1, 2]}, True),
+        ({"tags": []}, False),                      # minItems
+        ({"tags": ["ab"] * 5}, False),              # maxItems
+        ({"tags": ["ab", "x"]}, False),             # element minLength
+        ({"tags": [1, 2]}, False),                  # wrong element type
+        ({"tags": "ab"}, False),                    # not an array
+        ({"tags": ["ab", None]}, False),            # null element fails type
+        ({"tags": ["ab"], "nums": [1, -1]}, False), # element minimum
+        ({"tags": ["ab"], "nums": [1.5]}, False),   # non-integer element
+    ]
+    for row, want in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 4, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        assert valid.all() == want and invalid.all() == (not want), row
+    # a row whose list mixes element types aborts the parse -> full fallback
+    s = pd.Series([json.dumps({"tags": ["ab", 3]})], dtype=object)
+    assert screen_batch(s, plan) is None
+    # required `tags` entirely absent from the batch: column absence proves
+    # key absence -> definitive required failure
+    s = pd.Series([json.dumps({"nums": [1, 2]})] * 4, dtype=object)
+    masks = screen_batch(s, plan)
+    assert masks is not None and masks[1].all() and not masks[0].any()
+
+
+def test_screen_nested_crafted_verdicts():
+    data = Schema(NESTED).data
+    plan = plan_screen(data)
+    # (row, exact-walk verdict, definitive: screen must fast-classify)
+    cases = [
+        ({"meta": {"w": 3}}, True, False),           # fmt null-cell ambiguity? no fmt column at all -> optional absent proven -> definitive
+        ({"meta": {"w": 1, "fmt": "png"}, "k": 5}, True, True),
+        ({"meta": {"w": 0, "fmt": "png"}}, False, True),   # nested minimum
+        ({"meta": {"w": 2, "fmt": "bmp"}}, False, True),   # nested enum
+        ({"meta": {"fmt": "png"}}, False, False),    # nested required: absent key -> invalid, but a null cell is ambiguous when the field exists in the TYPE... here w is missing from the struct type entirely -> definitive
+        ({"meta": 7}, False, True),                  # not an object
+        ({"meta": {"w": 2.5}}, False, True),         # nested non-integer
+        ({"k": 1}, False, True),                     # required meta absent (column missing)
+        ({"meta": None}, False, True),               # null fails type: object
+    ]
+    for row, want, _ in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 4, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            # invalid rows: never certified; fast-reject when definitive
+            assert not valid.any(), row
+            assert invalid.all(), row  # all the False cases above are definitive (absence proven at column/struct-type level in a homogeneous batch)
+    # ambiguity case needs a MIXED batch: w present in the struct type but
+    # null for one row (explicit-null vs absent differ for nested required
+    # without w constraints violating null)... w has type integer so null
+    # fails it AND required -> still definitive. Build a genuinely ambiguous
+    # cell instead on `fmt` (optional, enum without null): present in type,
+    # null cell -> absent(valid) vs null(invalid) -> row must walk
+    rows = [json.dumps({"meta": {"w": 2, "fmt": "png"}}),
+            json.dumps({"meta": {"w": 2}})]
+    masks = screen_batch(pd.Series(rows, dtype=object), plan)
+    assert masks is not None
+    valid, invalid = masks
+    assert valid[0] and not invalid[0]
+    assert not valid[1] and not invalid[1]  # walks: fmt cell is null-or-absent
+
+
+def test_gate_metrics_accumulators(spark):
+    """GateMetrics counts the screen/walk split across executors: on the
+    bench events shape every row is screen-decided (valid or fast-reject),
+    and the counters sum to the scanned row count."""
+    from jsonschema_jl_spark.gate.gate import GateMetrics, gate_filter, apply_gate
+
+    clean = spark.createDataFrame(
+        [(json.dumps({"k": k}),) for k in range(200)], "props string"
+    )
+    m = GateMetrics(spark)
+    assert gate_filter(clean, FLAT, json_col="props", metrics=m).count() == 81
+    d = m.as_dict()
+    assert d["screened_valid"] == 81
+    assert d["screened_invalid"] == 119  # definitive range misses fast-reject
+    assert d["walked"] == 0 and d["fallback_rows"] == 0
+    assert d["screen_rate"] == 1.0
+
+    # full-detail mode: invalid rows need the exact issue -> they walk
+    m2 = GateMetrics(spark)
+    out = apply_gate(clean, FLAT, json_col="props", metrics=m2)
+    assert out.filter("isvalid").count() == 81
+    d2 = m2.as_dict()
+    assert d2["screened_valid"] == 81 and d2["screened_invalid"] == 0
+    assert d2["walked"] == 119
+
+    # a row that LOOKS like an object but fails to parse poisons its whole
+    # Arrow batch into fallback: those rows (bad + innocent batchmates) all
+    # walk and are counted as fallback_rows
+    poisoned = spark.createDataFrame(
+        [(json.dumps({"k": k}),) for k in range(200)] + [("{not json",)] * 8,
+        "props string",
+    )
+    m3 = GateMetrics(spark)
+    assert gate_filter(poisoned, FLAT, json_col="props", metrics=m3).count() == 81
+    d3 = m3.as_dict()
+    assert d3["walked"] >= 8 and d3["fallback_rows"] == d3["walked"]
+    assert d3["screened_valid"] + d3["screened_invalid"] + d3["walked"] == 208
