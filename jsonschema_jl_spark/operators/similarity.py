@@ -81,13 +81,46 @@ def _hyperplanes(dim: int, n_planes: int, table: int, seed: int) -> np.ndarray:
 
 def signs_column(vec_col: Column, planes: np.ndarray) -> Column:
     """Bucket key: sign bits of <v, h_i> packed into a long — computed with
-    native array expressions per plane (JVM-side)."""
+    native array expressions per plane (JVM-side).  Plan size grows with
+    n_planes*dim literal elements: past _NATIVE_SIGNS_MAX, lsh_ann_pairs
+    switches to the Arrow matmul kernel (signs_keys_udf) instead."""
     key = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lits = F.array(*[F.lit(float(x)) for x in plane])
         dot = _dot(vec_col, lits)
         key = key + F.when(dot > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
     return key
+
+
+# above this many n_planes*dim literal elements PER TABLE, the native
+# per-plane expression tree becomes a codegen/plan-size risk (each plane is
+# a dim-long literal array + an aggregate fold); the Arrow kernel computes
+# every table's key in ONE (batch, dim) @ (dim, tables*planes) matmul
+_NATIVE_SIGNS_MAX = 4096
+
+
+def signs_keys_udf(planes_tables: np.ndarray):
+    """Arrow-batched bucket keys for ALL tables at once: planes_tables is
+    (n_tables, n_planes, dim); the UDF maps an embedding column to an
+    array<long> of n_tables packed sign keys via a single matmul per batch
+    (same math as signs_column: bit i set iff <v, h_i> > 0)."""
+    n_tables, n_planes, dim = planes_tables.shape
+    W = planes_tables.reshape(n_tables * n_planes, dim).T.copy()  # (dim, T*P)
+    pw = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            if X.size == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            S = (X @ W) > 0                       # (n, T*P) sign bits
+            S = S.reshape(len(X), n_tables, n_planes)
+            key = (S * pw).sum(axis=2)            # (n, T) packed longs
+            yield pd.Series(list(key))
+
+    return keys
 
 
 def lsh_ann_pairs(
@@ -102,13 +135,26 @@ def lsh_ann_pairs(
     bucket_cap: int = 2000,
 ) -> DataFrame:
     """Candidate (src, dst, cos) pairs sharing a hyperplane-sign bucket in
-    any of n_tables tables; exact cosine verified natively."""
+    any of n_tables tables; exact cosine verified natively.
+
+    Bucket keys: native per-plane Column expressions while the literal
+    volume stays small (whole-stage codegen, zero Python), else one Arrow
+    matmul kernel computing every table's key per batch — the per-plane
+    literal arrays are a plan/codegen-size risk past ~64x64
+    (_NATIVE_SIGNS_MAX)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    keys = [
-        signs_column(F.col("vec"), _hyperplanes(dim, n_planes, t, seed)) for t in range(n_tables)
-    ]
+    if n_planes * dim <= _NATIVE_SIGNS_MAX:
+        keys = F.array(*[
+            signs_column(F.col("vec"), _hyperplanes(dim, n_planes, t, seed))
+            for t in range(n_tables)
+        ])
+    else:
+        planes = np.stack([
+            _hyperplanes(dim, n_planes, t, seed) for t in range(n_tables)
+        ])
+        keys = signs_keys_udf(planes)(F.col("vec"))
     exploded = base.select(
-        "id", "vec", F.posexplode(F.array(*keys)).alias("table", "bucket")
+        "id", "vec", F.posexplode(keys).alias("table", "bucket")
     )
     sizes = exploded.groupBy("table", "bucket").agg(F.count("*").alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= bucket_cap)).drop("n")

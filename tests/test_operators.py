@@ -343,3 +343,45 @@ def test_candidate_pairs_cache_registry(spark):
     assert skew.capped_rows >= 0
     for cached in reg:
         cached.unpersist()
+
+
+def test_signs_kernel_parity_dim256(spark):
+    """The Arrow matmul bucket-key kernel (large n_planes*dim path) must
+    produce the same pair set as the native per-plane expression path at
+    dim=256 — forced onto each path by flipping _NATIVE_SIGNS_MAX."""
+    import jsonschema_jl_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(11)
+    dim = 256
+    base = rng.standard_normal((40, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    for j in range(8):
+        v = base[j] + rng.standard_normal(dim) * 0.003
+        rows.append((100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    saved = sim._NATIVE_SIGNS_MAX
+    try:
+        sim._NATIVE_SIGNS_MAX = 10 ** 9  # force native
+        native = {
+            (r.src, r.dst)
+            for r in sim.lsh_ann_pairs(
+                df, dim=dim, n_planes=10, n_tables=6, min_cos=0.99
+            ).collect()
+        }
+        sim._NATIVE_SIGNS_MAX = 0  # force Arrow kernel
+        kernel = {
+            (r.src, r.dst)
+            for r in sim.lsh_ann_pairs(
+                df, dim=dim, n_planes=10, n_tables=6, min_cos=0.99
+            ).collect()
+        }
+    finally:
+        sim._NATIVE_SIGNS_MAX = saved
+    assert native == kernel
+    planted = {(j, 100 + j) for j in range(8)}
+    assert len(planted & kernel) >= 7
+    # the default threshold keeps small configs (10 planes x 256 = 2560
+    # literals) native and routes big ones (e.g. 32 planes x 256) to the
+    # kernel
+    assert 10 * dim <= sim._NATIVE_SIGNS_MAX < 32 * dim
