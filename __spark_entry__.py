@@ -581,6 +581,37 @@ def q_images_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_images_dedup_resumable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 at contract level: the SAME flagship clustering as
+    images_dedup_clusters, computed through the checkpoint-manifest path
+    (io.checkpoint.resumable_pipeline: three checkpointed stages written as
+    Iceberg-layout parquet with per-bucket manifests, each stage resumed
+    from its checkpoint by the next) instead of the in-memory pipeline.
+    Shares images_dedup_clusters' oracle SQL — agreement proves the
+    checkpoint round-trip preserves the clustering bit-for-bit.  The
+    checkpoint root is wiped first so the run is deterministic."""
+    import os
+    import shutil
+    import tempfile
+
+    from jsonschema_jl_spark.io.checkpoint import CheckpointManager, resumable_pipeline
+
+    images = images_from_documents(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg_ckpt_{CFG.config_hash()}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    labels = resumable_pipeline(spark, images, CheckpointManager(root, CFG), CFG)
+    return (
+        labels.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("n_members")
+    )
+
+
 def q_images_gate_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonschema_jl_spark.operators.pipeline import IMAGES_GATE_SCHEMA
 
@@ -773,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_pairs": q_emb_ann_pairs,
         "emb_ivf_topk": q_emb_ivf_topk,
         "images_dedup_clusters": q_images_dedup_clusters,
+        "images_dedup_resumable": q_images_dedup_resumable,
         "images_gate_breakdown": q_images_gate_breakdown,
         "images_features": q_images_features,
         "doc_minhash_signatures": q_doc_minhash_signatures,
@@ -1288,6 +1320,7 @@ def _oracle_sql_dict() -> dict[str, str]:
           SELECT reason, count(*) AS n FROM reasons GROUP BY reason
         """,
         "images_dedup_clusters": _IMAGES_CLUSTERS_SQL,
+        "images_dedup_resumable": _IMAGES_CLUSTERS_SQL,
         # images_from_documents payloads: real PNG iff the BASE doc has
         # fmt=png (doc_id % 3 == 0), real baseline JPEG iff fmt=jpeg
         # (doc_id % 3 == 1, pure-numpy codec), real lossless-WebP VP8L iff
