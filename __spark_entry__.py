@@ -90,6 +90,56 @@ def q_gate_events_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "isvalid")
 
 
+_EVENTS_COMPOUND_SCHEMA = {
+    "type": "object",
+    "required": ["tags", "meta"],
+    "properties": {
+        "tags": {
+            "type": "array", "minItems": 1, "maxItems": 3,
+            "items": {"type": "string", "minLength": 4},
+        },
+        "meta": {
+            "type": "object",
+            "required": ["w"],
+            "properties": {"w": {"type": "integer", "minimum": 5, "maximum": 95}},
+        },
+    },
+}
+
+
+def q_gate_events_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic gate over synthesized array + one-level-nested JSON — the
+    round-4 columnar-screen extension exercised at contract level.  The doc
+    is built deterministically from typed columns via to_json so the DuckDB
+    oracle can derive the verdict in pure SQL:
+      tags: [event_type, "ab" | "tag<d>"]  — "ab" lane (user_id%4==0)
+            fails items.minLength 4
+      meta: absent when user_id%11==0 (required fails), else
+            {"w": user_id%120} — w outside [5, 95] fails the nested bounds
+    """
+    ev = _events(spark, sf_dir)
+    doc = F.to_json(
+        F.struct(
+            F.array(
+                F.col("event_type"),
+                F.when(F.pmod("user_id", F.lit(4)) == 0, F.lit("ab")).otherwise(
+                    F.concat(F.lit("tag"), F.pmod("user_id", F.lit(5)).cast("string"))
+                ),
+            ).alias("tags"),
+            F.when(
+                F.pmod("user_id", F.lit(11)) != 0,
+                F.struct(F.pmod("user_id", F.lit(120)).alias("w")),
+            ).alias("meta"),
+        )
+    )
+    out = apply_gate(
+        ev.select("event_id", doc.alias("doc")),
+        _EVENTS_COMPOUND_SCHEMA,
+        json_col="doc",
+    )
+    return out.select("event_id", "isvalid")
+
+
 _PART_SCHEMA = {
     "type": "object",
     "required": ["p_partkey", "p_name", "p_type", "p_size"],
@@ -770,6 +820,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gate_events_dynamic": q_gate_events_dynamic,
+        "gate_events_compound": q_gate_events_compound,
         "gate_part_typed": q_gate_part_typed,
         "gate_docs_typed": q_gate_docs_typed,
         "gate_events_oneof": q_gate_events_oneof,
@@ -1009,6 +1060,14 @@ def oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_dict() -> dict[str, str]:
     return {
+        "gate_events_compound": """
+          SELECT event_id,
+                 (user_id % 11 <> 0
+                  AND (user_id % 120) BETWEEN 5 AND 95
+                  AND user_id % 4 <> 0
+                  AND length(event_type) >= 4) AS isvalid
+          FROM events
+        """,
         "gate_events_dynamic": """
           SELECT event_id,
                  (json_extract(props, '$.k') IS NOT NULL
