@@ -910,7 +910,8 @@ _NGRAM_GRAMS = f"""
 # ALL detector edges computed exactly (all-pairs 5-char-shingle Jaccard >=
 # tau, all-pairs phash Hamming <= 2, strict-substring containment with the
 # engine's min_contained_len=16), recursive-CTE connected components, then
-# the cluster-size histogram.  The engine's LSH banding (b=32, r=4),
+# the cluster-size histogram.  The engine's LSH banding (CFG: 256 perms,
+# b=32, r=8),
 # bucket caps, and pigeonhole blocks are all recall-lossless on this corpus
 # — verified pair-for-pair at sf0.001 and sf0.01 (tools/cluster_oracle_dev.py:
 # 245/245 and 238/238 identical edges), so the exact mirror IS the engine's

@@ -281,7 +281,7 @@ def _signatures_map_in_arrow(
 
     The pandas-UDF route pays two per-row conversion taxes this avoids: the
     text column materializes as Python str objects on the way in, and the
-    128-long signature rows build a ListArray element-by-element on the way
+    P-long signature rows build a ListArray element-by-element on the way
     out.  Here the shingle kernel reads the UTF-8 bytes straight out of the
     Arrow string buffer (one vectorized gather builds the padded concat
     buffer) and the signatures leave as ONE flat int64 buffer wrapped in a
