@@ -407,10 +407,10 @@ def main() -> None:
         # single-box co-location that says nothing about multi-node scaling
         # where each executor brings its own memory bus.  1 -> 4 keeps the
         # big level furthest below saturation while still spanning the
-        # north rule's required 4x.  The scaling input is 8x the bench size
-        # so compute dominates fixed per-stage scheduling latency, and it
-        # is staged on tmpfs so cold page-cache reads don't bias the first
-        # run.
+        # north rule's required 4x.  The scaling input is 6x the bench size
+        # (see n_scale below) so compute dominates fixed per-stage
+        # scheduling latency, and it is staged on tmpfs so cold page-cache
+        # reads don't bias the first run.
         pair = tuple(
             int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")
         )
