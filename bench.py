@@ -401,8 +401,9 @@ def main() -> None:
     # EARLY FLUSH (round-3 driver record was rc=124 with parsed:null): emit
     # the headline JSON line NOW, before the scaling phase, so a hard kill
     # mid-scaling still leaves the driver a parseable throughput record.
-    # The final line (same record + `scaling`) supersedes it on success.
-    print(json.dumps(out), flush=True)
+    # The final line (same record + `scaling`, no `partial` flag)
+    # supersedes it on success — consumers should read the LAST line.
+    print(json.dumps({**out, "partial": True}), flush=True)
 
     scaling = None
     if do_scaling:
