@@ -98,9 +98,13 @@ def _plan_scalar(sub: dict) -> bool:
     """Eligibility of a scalar subschema for vectorized checking."""
     if set(sub) - _ALLOWED_KW:
         return False
-    t = sub.get("type")
-    if t is not None and t not in _SCALAR_TYPES:
+    if "enum" in sub and "const" in sub:
+        # both present must BOTH hold; _enum_of collapses to enum alone,
+        # which would certify rows valid that the walk fails on const
         return False
+    t = sub.get("type")
+    if t is not None and (not isinstance(t, str) or t not in _SCALAR_TYPES):
+        return False  # union-type lists (legal) are walk territory
     for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
         if kw in sub and not _is_exact_number(sub[kw]):
             return False  # incl. draft-4 bool exclusive* forms
@@ -254,7 +258,7 @@ def _scalar_masks(arr, sub: dict) -> np.ndarray | None:
             # scalar `type` and any all-scalar enum/const definitively fail;
             # range/length/pattern apply only to matching primitive types,
             # so with neither the value passes every planned check
-            if "type" in sub or _enum_of(sub) is not None:
+            if sub.get("type") is not None or _enum_of(sub) is not None:
                 return present.copy()
             return np.zeros(m, dtype=bool)
         return None  # unexpected inference — walk
@@ -319,20 +323,16 @@ def _scalar_masks(arr, sub: dict) -> np.ndarray | None:
                 hit |= (~v) & present
             bad |= ~hit
         elif is_num:
-            import pyarrow as _pa
-
             nums = [
                 float(e) for e in allowed
                 if isinstance(e, (int, float)) and not isinstance(e, bool)
             ]
             bad |= ~_to_np(
-                pc.is_in(arrf, value_set=_pa.array(nums, _pa.float64()))
+                pc.is_in(arrf, value_set=pa.array(nums, pa.float64()))
             )
         elif is_str:
-            import pyarrow as _pa
-
             strs = [e for e in allowed if isinstance(e, str)]
-            bad |= ~_to_np(pc.is_in(arr, value_set=_pa.array(strs, t)))
+            bad |= ~_to_np(pc.is_in(arr, value_set=pa.array(strs, t)))
 
     # every `bad` bit above is a DEFINITIVE keyword failure on a present
     # value (wrong-typed column, range/length/pattern/enum miss, float

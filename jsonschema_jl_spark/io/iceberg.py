@@ -93,10 +93,14 @@ def write_stage_iceberg(
     bucket(n_buckets, id_col) — the real-catalog twin of
     CheckpointManager.write_stage.  Returns the table identifier.
 
-    Append is one atomic snapshot commit (the manifest 'done' bit the JSON
-    scheme emulates); config lineage rides as a table property so a resume
-    under a different DedupConfig is detectable exactly like the JSON
-    manifest's config_hash check."""
+    The write is one atomic `overwritePartitions` snapshot commit (the
+    manifest 'done' bit the JSON scheme emulates): re-running a stage after
+    a partial failure REPLACES the bucket partitions it produces instead of
+    appending a second copy of every row — the same-config retry is
+    idempotent because the pipeline is deterministic, so a retry emits the
+    same rows into the same bucket partitions.  Config lineage rides as a
+    table property so a resume under a different DedupConfig is detectable
+    exactly like the JSON manifest's config_hash check."""
     spark = df.sparkSession
     table = f"{catalog}.{namespace}.{stage}"
     spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
@@ -116,7 +120,7 @@ def write_stage_iceberg(
             f"{stored[0]['value']}; current config is {cfg.config_hash()} — "
             "drop the table or use a fresh namespace"
         )
-    df.writeTo(table).append()
+    df.writeTo(table).overwritePartitions()
     return table
 
 

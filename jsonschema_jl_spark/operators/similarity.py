@@ -111,14 +111,31 @@ def signs_keys_udf(planes_tables: np.ndarray):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def keys(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in it:
-            X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-            if X.size == 0:
-                yield pd.Series([], dtype=object)
-                continue
-            S = (X @ W) > 0                       # (n, T*P) sign bits
-            S = S.reshape(len(X), n_tables, n_planes)
-            key = (S * pw).sum(axis=2)            # (n, T) packed longs
-            yield pd.Series(list(key))
+            n = len(vecs)
+            # null / wrong-length embeddings get a NULL key array (the row
+            # then drops at the posexplode) instead of crashing the matmul
+            # with a ragged np.asarray; the native path degrades the same
+            # way in effect — its null-dot key-0 rows never survive the
+            # `cos >= min_cos` null filter, so pair output is identical
+            out: list = [None] * n
+            idx: list[int] = []
+            rows: list[np.ndarray] = []
+            for i, v in enumerate(vecs):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape != (dim,) or not np.isfinite(a).all():
+                    continue
+                idx.append(i)
+                rows.append(a)
+            if rows:
+                X = np.vstack(rows)
+                S = (X @ W) > 0                       # (g, T*P) sign bits
+                S = S.reshape(len(X), n_tables, n_planes)
+                key = (S * pw).sum(axis=2)            # (g, T) packed longs
+                for j, i in enumerate(idx):
+                    out[i] = key[j].tolist()
+            yield pd.Series(out, dtype=object)
 
     return keys
 
@@ -133,6 +150,7 @@ def lsh_ann_pairs(
     seed: int = 4242,
     min_cos: float = 0.0,
     bucket_cap: int = 2000,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Candidate (src, dst, cos) pairs sharing a hyperplane-sign bucket in
     any of n_tables tables; exact cosine verified natively.
@@ -141,7 +159,16 @@ def lsh_ann_pairs(
     volume stays small (whole-stage codegen, zero Python), else one Arrow
     matmul kernel computing every table's key per batch — the per-plane
     literal arrays are a plan/codegen-size risk past ~64x64
-    (_NATIVE_SIGNS_MAX)."""
+    (_NATIVE_SIGNS_MAX).
+
+    The exploded bucket rows feed THREE plan branches (the size agg and
+    both self-join sides).  With a `cache_registry` they are repartitioned
+    on the bucket key and persisted so the key computation — in the kernel
+    path a pandas UDF over the whole corpus — runs ONCE and all branches
+    reuse one exchange (the same sharing candidate_pairs documents at
+    lsh.py); caller owns the unpersist.  With no registry the persist is
+    skipped (no leaked caches in long-lived sessions) and the plan falls
+    back to recomputation per branch."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n_planes * dim <= _NATIVE_SIGNS_MAX:
         keys = F.array(*[
@@ -156,6 +183,10 @@ def lsh_ann_pairs(
     exploded = base.select(
         "id", "vec", F.posexplode(keys).alias("table", "bucket")
     )
+    if cache_registry is not None:
+        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        exploded = exploded.repartition(par, "table", "bucket").persist()
+        cache_registry.append(exploded)
     sizes = exploded.groupBy("table", "bucket").agg(F.count("*").alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= bucket_cap)).drop("n")
     member = exploded.join(ok, ["table", "bucket"])

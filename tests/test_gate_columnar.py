@@ -220,6 +220,50 @@ def test_screen_missing_optional_column_still_screens():
     assert masks is not None and masks[0].all()
 
 
+def test_screen_enum_plus_const_walks():
+    """enum and const TOGETHER must both hold; the screen's _enum_of only
+    sees the enum, so such subschemas are walk territory (regression: the
+    screen used to certify {"x": 1} valid under enum [1,2] + const 2)."""
+    schema = {"type": "object", "properties": {"x": {"enum": [1, 2], "const": 2}}}
+    data = Schema(schema).data
+    assert plan_screen(data) is None
+    assert _issue_record({"x": 1}, data) is not None  # const fails
+    assert _issue_record({"x": 2}, data) is None
+
+
+def test_screen_union_type_walks_not_crashes():
+    """Legal union-type lists (`"type": ["string", "null"]`) are the walk's
+    job — plan_screen must return None, not raise TypeError (regression:
+    `t not in _SCALAR_TYPES` on an unhashable list)."""
+    schema = {
+        "type": "object",
+        "properties": {"x": {"type": ["string", "null"]}},
+    }
+    data = Schema(schema).data
+    assert plan_screen(data) is None  # no crash, clean fallback
+    assert _issue_record({"x": "a"}, data) is None
+    assert _issue_record({"x": 3}, data) is not None
+
+
+def test_screen_type_null_is_noop():
+    """`"type": null` is a no-op for the exact walk (non-string, non-list
+    type values validate nothing); the screen must not treat key PRESENCE
+    as a type constraint (regression: `"type" in sub` fast-rejected
+    array/object values the walk accepts)."""
+    schema = {"type": "object", "properties": {"a": {"type": None}}}
+    data = Schema(schema).data
+    plan = plan_screen(data)
+    assert plan is not None
+    row = json.dumps({"a": [1, 2]})
+    assert _issue_record(json.loads(row), data) is None
+    masks = screen_batch(pd.Series([row] * 4, dtype=object), plan)
+    assert masks is not None
+    valid, invalid = masks
+    assert not invalid.any()  # never certainly-invalid
+    for i in np.flatnonzero(valid):
+        assert _issue_record(json.loads(row), data) is None
+
+
 def test_pyarrow_null_column_probe():
     """The missing-column fast-reject relies on: an explicit `"k": null`
     yields a null-typed COLUMN (not column absence).  Probe the behavior

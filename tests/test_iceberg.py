@@ -67,6 +67,10 @@ def test_checkpoint_stage_roundtrip_iceberg(ice_spark):
     back = read_stage_iceberg(ice_spark, "sig_test")
     assert back.count() == 1000
     assert {r.image_id for r in back.collect()} == {r.image_id for r in df.collect()}
+    # same-config retry is IDEMPOTENT (overwritePartitions, not append):
+    # re-running the stage after a partial failure must not duplicate rows
+    write_stage_iceberg(df, "sig_test", cfg, id_col="image_id", n_buckets=8)
+    assert read_stage_iceberg(ice_spark, "sig_test").count() == 1000
     # config lineage is enforced: a different config must refuse to append
     import dataclasses
 

@@ -385,3 +385,79 @@ def test_signs_kernel_parity_dim256(spark):
     # literals) native and routes big ones (e.g. 32 planes x 256) to the
     # kernel
     assert 10 * dim <= sim._NATIVE_SIGNS_MAX < 32 * dim
+
+
+def test_signs_kernel_null_and_ragged_embeddings(spark):
+    """Null / wrong-length embeddings must DEGRADE on the kernel path (row
+    dropped, no pairs) exactly like the native path, not crash the matmul
+    with a ragged array (regression: np.asarray over a batch containing
+    None raised 'inhomogeneous shape').  Pair output must be identical to
+    the same corpus with the bad rows filtered out."""
+    import jsonschema_jl_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(23)
+    dim = 64
+    base = rng.standard_normal((20, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    for j in range(4):
+        v = base[j] + rng.standard_normal(dim) * 0.003
+        rows.append((100 + j, [float(x) for x in v]))
+    bad = [(900, None), (901, [1.0, 2.0]), (902, [float("nan")] * dim)]
+    df = spark.createDataFrame(
+        rows + bad, "vec_id long, embedding array<float>"
+    )
+    clean = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    saved = sim._NATIVE_SIGNS_MAX
+    try:
+        sim._NATIVE_SIGNS_MAX = 0  # force the Arrow kernel
+        got = {
+            (r.src, r.dst)
+            for r in sim.lsh_ann_pairs(
+                df, dim=dim, n_planes=10, n_tables=4, min_cos=0.99
+            ).collect()
+        }
+        want = {
+            (r.src, r.dst)
+            for r in sim.lsh_ann_pairs(
+                clean, dim=dim, n_planes=10, n_tables=4, min_cos=0.99
+            ).collect()
+        }
+    finally:
+        sim._NATIVE_SIGNS_MAX = saved
+    assert got == want
+    assert not any(900 <= a or 900 <= b for a, b in got)
+
+
+def test_lsh_ann_pairs_cache_registry(spark):
+    """With a cache_registry the exploded bucket rows are persisted (the
+    pandas-UDF key computation runs once, shared by the size agg and both
+    self-join sides) and the pair set is unchanged; caller unpersists."""
+    import jsonschema_jl_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(31)
+    dim = 32
+    base = rng.standard_normal((30, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    for j in range(5):
+        v = base[j] + rng.standard_normal(dim) * 0.003
+        rows.append((200 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = {
+        (r.src, r.dst)
+        for r in sim.lsh_ann_pairs(
+            df, dim=dim, n_planes=8, n_tables=4, min_cos=0.99
+        ).collect()
+    }
+    reg: list = []
+    shared = {
+        (r.src, r.dst)
+        for r in sim.lsh_ann_pairs(
+            df, dim=dim, n_planes=8, n_tables=4, min_cos=0.99,
+            cache_registry=reg,
+        ).collect()
+    }
+    assert shared == plain
+    assert len(reg) == 1 and reg[0].is_cached
+    for cached in reg:
+        cached.unpersist()
