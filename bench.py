@@ -28,7 +28,12 @@ reps so far with `budget_exhausted: true` — a partial scaling record beats
 none (BENCH_r03 was rc=124/parsed-null exactly because the old layout
 printed nothing until the full scaling phase finished).  Budget checks gate
 *starting* a rep, never interrupt one, so the worst-case overshoot is one
-rep + teardown.
+rep + teardown.  Two further binds (round-4 review): the whole scaling
+phase is skipped — flagged in the record — when the main phase leaves less
+than SPARK_GRAFT_SCALE_MIN (default 600 s), and each worker skips its
+untimed full-size warmup when warmup + one rep cannot fit its share
+(`warm_skipped: true`; rep one then absorbs the JIT/heap-shaping one-offs
+and the min-of-clean-reps protocol discards it if inflated).
 """
 
 from __future__ import annotations
@@ -238,10 +243,12 @@ def scale_worker(
         },
     )
     warm = spark.read.parquet(warm_path)
-    warm.count()
+    n_warm = warm.count()
+    t0 = time.time()
     res = dedup_pipeline(warm, CFG, collect_metrics=False)
     res.labels.count()
     res.cleanup()
+    warm_small_dt = time.time() - t0
 
     df = spark.read.parquet(path)
     n = df.count()
@@ -253,11 +260,24 @@ def scale_worker(
     # ~0 recorded steal and a clean bandwidth probe, sinking the published
     # efficiency to 0.668.  Discarding rep one is the fix the probes cannot
     # provide.
-    t0 = time.time()
-    res = dedup_pipeline(df, CFG, collect_metrics=False)
-    res.labels.count()
-    res.cleanup()
-    warm_full = round(time.time() - t0, 1)
+    #
+    # BUDGET GATE on the warmup itself (the round-3 timeout taught that the
+    # deadline must bind BEFORE the expensive untimed work, not only between
+    # reps): estimate a full-scale run from the small warmup scaled by rows
+    # — fresh-JVM JIT makes the per-row estimate conservative (high) — and
+    # skip the full warmup when warmup + one rep cannot fit.  The first
+    # timed rep then absorbs the one-off costs (flagged via warm_skipped so
+    # readers know rep one is warmup-polluted; the min-of-clean-reps
+    # protocol already discards inflated draws).
+    est_rep = warm_small_dt * (n / max(n_warm, 1))
+    warm_full = None
+    warm_skipped = time.time() + 2.2 * est_rep > deadline
+    if not warm_skipped:
+        t0 = time.time()
+        res = dedup_pipeline(df, CFG, collect_metrics=False)
+        res.labels.count()
+        res.cleanup()
+        warm_full = round(time.time() - t0, 1)
     # steal-aware repetition: this sandbox is a VM on a shared host; CPU-
     # steal storms lasting minutes inflate whole reps (never deflate).  A
     # rep counts as CLEAN only if steal ON THE PINNED CORES stayed <= 4%
@@ -296,8 +316,8 @@ def scale_worker(
     times, steals, bands = [], [], []
     attempts, max_attempts = 0, reps + 4
     spread_ok = False
-    budget_exhausted = False
-    last_dt = warm_full
+    budget_exhausted = warm_skipped
+    last_dt = warm_full if warm_full is not None else est_rep
     while attempts < max_attempts:
         if attempts >= 1 and time.time() + last_dt > deadline:
             budget_exhausted = True
@@ -331,7 +351,7 @@ def scale_worker(
         "seconds": min(best), "all": [round(t, 1) for t in sorted(times) or [last_dt]],
         "used": [round(t, 1) for t in best], "spread_ok": spread_ok,
         "budget_exhausted": budget_exhausted,
-        "warm_full": warm_full,
+        "warm_full": warm_full, "warm_skipped": warm_skipped,
         "steal_frac": steals, "mem_gbs": bands, "rows": n,
     }))
 
@@ -424,6 +444,20 @@ def main() -> None:
         pair = tuple(
             int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CORES", "1,4").split(",")
         )
+        # a scaling record drawn with less than ~10 min of wall left would
+        # be one storm-polluted rep per level at best — if the main phase
+        # (pathologically) ate the budget, skip the phase and say so rather
+        # than overshoot into the driver's hard timeout (round-3 rc=124)
+        scale_min = float(os.environ.get("SPARK_GRAFT_SCALE_MIN", "600"))
+        if deadline - time.time() < scale_min:
+            scaling = {
+                "skipped": "wall budget exhausted before the scaling phase",
+                "budget_exhausted": True,
+            }
+            out["scaling"] = scaling
+            out["wall_total"] = round(time.time() - t_start, 1)
+            print(json.dumps(out), flush=True)
+            return
         # 6x the bench input (round 4; was 8x): big enough that fixed
         # driver-side serial work stays small against the fast level's rep
         # (AQE is off here; the remaining action barriers are ~5-8s vs a
@@ -465,7 +499,9 @@ def main() -> None:
         # slow-level-first so an overshoot squeezes the cheap level, not
         # the expensive one.
         lo, hi = pair
-        remaining = max(deadline - time.time(), 120.0 * len(pair))
+        # the scale_min gate above guarantees a sane floor here; no
+        # artificial minimum that would force workers past the deadline
+        remaining = max(deadline - time.time(), 60.0)
         w = {lo: 1.0 / lo + 0.12, hi: 1.0 / hi + 0.12}
         w_sum = sum(w.values())
         order = [lo, hi]  # lo (expensive) first
@@ -492,6 +528,7 @@ def main() -> None:
                                "spread_ok": rec.get("spread_ok"),
                                "budget_exhausted": rec.get("budget_exhausted"),
                                "warm_full": rec.get("warm_full"),
+                               "warm_skipped": rec.get("warm_skipped"),
                                "mem_gbs": rec.get("mem_gbs", []),
                                "steal": rec.get("steal_frac", [])}
         eff = (thr[hi] / thr[lo]) / (hi / lo)
