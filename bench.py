@@ -94,19 +94,31 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
     # the first action after the big warm pipeline absorbs that run's
     # deferred cleanup (ContextCleaner unpersists, GC of shuffle state) —
     # measured 8.8 s for a native gate whose steady state is ~1 s
+    def _min_of_2(fn) -> float:
+        """Two timed draws, report the min — host storms only ever inflate
+        (the full-rehearsal record shows a warmed native gate drawing 51 s
+        vs its 0.9 s steady state on a single storm-hit draw)."""
+        draws = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            draws.append(time.time() - t0)
+        return round(min(draws), 2)
+
     gate_filter(images, IMAGES_GATE_SCHEMA).count()  # warm
-    t0 = time.time()
     n_valid = gate_filter(images, IMAGES_GATE_SCHEMA).count()
-    timings["gate"] = round(time.time() - t0, 2)
+    timings["gate"] = _min_of_2(
+        lambda: gate_filter(images, IMAGES_GATE_SCHEMA).count()
+    )
 
     slim = gate_filter(images, IMAGES_GATE_SCHEMA).select("image_id", "caption", "phash")
     # keep_shingles=False matches what the pipeline actually materializes
     # (verification recomputes shingles for candidates only)
     sigs = with_signatures(slim, cfg=CFG, keep_shingles=False)
     sigs.write.mode("overwrite").format("noop").save()  # warm
-    t0 = time.time()
-    sigs.write.mode("overwrite").format("noop").save()
-    timings["signatures"] = round(time.time() - t0, 2)
+    timings["signatures"] = _min_of_2(
+        lambda: sigs.write.mode("overwrite").format("noop").save()
+    )
 
     # dynamic-mode gate (Arrow dict-tree UDF over a JSON column) — the
     # residual path's throughput, vs the native-Column path above
@@ -123,9 +135,10 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
             "properties": {"k": {"type": "integer", "minimum": 10, "maximum": 90}},
         }
         apply_gate(ev, dyn_schema, json_col="props").filter("isvalid").count()  # warm
-        t0 = time.time()
-        n_dyn = apply_gate(ev, dyn_schema, json_col="props").filter("isvalid").count()
-        timings["gate_dynamic"] = round(time.time() - t0, 2)
+        timings["gate_dynamic"] = _min_of_2(
+            lambda: apply_gate(ev, dyn_schema, json_col="props")
+            .filter("isvalid").count()
+        )
         timings["gate_dynamic_rows"] = ev.count()
         # verdict-only fast path: certainly-INVALID rows also skip the dict
         # walk (corpus-cleaning shape: the rejected 5-30% were the slowest
