@@ -520,3 +520,100 @@ def test_gate_metrics_accumulators(spark):
     d3 = m3.as_dict()
     assert d3["walked"] >= 8 and d3["fallback_rows"] == d3["walked"]
     assert d3["screened_valid"] + d3["screened_invalid"] + d3["walked"] == 208
+
+
+# ---------------------------------------------------------------------------
+# property-based screen-vs-walk soundness: ARBITRARY schemas (screenable or
+# not) x ARBITRARY row batches.  The invariant under test is the module's
+# two-sided soundness contract, with no assumption that the generator stays
+# inside the screenable grammar — ineligible schemas must plan to None (not
+# crash), and whenever a plan exists and a batch engages, every
+# certainly-valid row must be walk-valid and every certainly-invalid row
+# walk-invalid.
+
+from hypothesis import given, settings, strategies as st
+
+_H_SCALARS = st.one_of(
+    st.integers(min_value=-(2 ** 60), max_value=2 ** 60),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(alphabet="abcXYZ019 .~", max_size=12),
+    st.booleans(),
+    st.none(),
+)
+_H_VALUES = st.one_of(
+    _H_SCALARS,
+    st.lists(_H_SCALARS, max_size=4),
+    st.dictionaries(st.sampled_from(["w", "fmt", "z"]), _H_SCALARS, max_size=3),
+)
+
+
+@st.composite
+def _h_subschema(draw):
+    sub: dict = {}
+    t = draw(st.sampled_from(
+        [None, "integer", "number", "string", "boolean", "array", "object",
+         ["string", "null"], ["integer", "boolean"]]
+    ))
+    if t is not None:
+        sub["type"] = t
+    if draw(st.booleans()):
+        sub["minimum"] = draw(st.integers(min_value=-100, max_value=50))
+    if draw(st.booleans()):
+        sub["maximum"] = draw(st.integers(min_value=0, max_value=100))
+    if draw(st.booleans()):
+        sub["minLength"] = draw(st.integers(min_value=0, max_value=4))
+    if draw(st.booleans()):
+        sub["pattern"] = draw(st.sampled_from(["^a", "b$", "[0-9]+", "^$"]))
+    if draw(st.booleans()):
+        sub["enum"] = draw(st.lists(_H_SCALARS, min_size=1, max_size=4))
+    if draw(st.booleans()):
+        sub["const"] = draw(_H_SCALARS)
+    if t == "array" and draw(st.booleans()):
+        sub["items"] = {"type": draw(st.sampled_from(["integer", "string"]))}
+        if draw(st.booleans()):
+            sub["minItems"] = draw(st.integers(min_value=0, max_value=3))
+    if t == "object" and draw(st.booleans()):
+        sub["properties"] = {"w": {"type": "integer", "minimum": 1}}
+        if draw(st.booleans()):
+            sub["required"] = ["w"]
+    return sub
+
+
+@st.composite
+def _h_case(draw):
+    names = draw(st.lists(st.sampled_from(["k", "name", "n", "tag"]),
+                          min_size=1, max_size=3, unique=True))
+    schema = {
+        "type": "object",
+        "properties": {nm: draw(_h_subschema()) for nm in names},
+    }
+    req = draw(st.lists(st.sampled_from(names + ["extra_req"]),
+                        max_size=2, unique=True))
+    if req:
+        schema["required"] = req
+    rows = draw(st.lists(
+        st.dictionaries(st.sampled_from(names + ["other"]), _H_VALUES,
+                        max_size=4),
+        min_size=1, max_size=12,
+    ))
+    return schema, rows
+
+
+@settings(max_examples=150, deadline=None)
+@given(_h_case())
+def test_screen_soundness_hypothesis(case):
+    schema, rows = case
+    data = Schema(schema).data
+    plan = plan_screen(data)  # must never raise, screenable or not
+    if plan is None:
+        return
+    s = pd.Series([json.dumps(r) for r in rows], dtype=object)
+    masks = screen_batch(s, plan)
+    if masks is None:
+        return
+    valid, invalid = masks
+    assert not (valid & invalid).any()
+    for i in np.flatnonzero(valid):
+        assert _issue_record(rows[i], data) is None, (schema, rows[i])
+    for i in np.flatnonzero(invalid):
+        assert _issue_record(rows[i], data) is not None, (schema, rows[i])
