@@ -88,3 +88,20 @@ def test_determinism_across_runs(images):
     p1 = sorted((r.src, r.dst) for r in r1.edges.collect())
     p2 = sorted((r.src, r.dst) for r in r2.edges.collect())
     assert p1 == p2
+
+
+def test_degenerate_inputs(images, spark):
+    """Empty input, gate-rejects-everything, and single-row corpora must
+    produce empty/singleton label sets, not crash any stage (banding,
+    pair-building, CC, and the verify kernels all see zero or one row)."""
+    r = dedup_pipeline(images.limit(0), CFG, collect_metrics=False)
+    assert r.labels.count() == 0
+    r.cleanup()
+    allbad = images.withColumn("caption", F.lit(None).cast("string"))
+    r = dedup_pipeline(allbad, CFG, collect_metrics=False)
+    assert r.labels.count() == 0  # every row gated out
+    r.cleanup()
+    r = dedup_pipeline(images.limit(1), CFG, collect_metrics=False)
+    one = r.labels.collect()
+    assert len(one) == 1 and one[0].component is not None
+    r.cleanup()
