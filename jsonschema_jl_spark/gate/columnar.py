@@ -498,26 +498,35 @@ def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] |
                 ok[:] = False
                 inv[:] = True
             continue
-        arr = tbl.column(name)
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        if extra is None:
-            bad = _scalar_masks(arr, sub)
-            if bad is None:
-                return None
-            amb = None
-        elif extra[0] == "array":
-            res = _array_masks(arr, sub)
-            if res is None:
-                return None
-            bad, amb = res
-        else:  # ("object", nested_plan)
-            res = _object_masks(arr, extra[1])
-            if res is None:
-                return None
-            bad, amb = res
+        # pyarrow 16.1's JSON reader can emit STRUCTURALLY INVALID arrays —
+        # a column of `[null, ...]` lists parses to list<null> whose offsets
+        # span more slots than the child holds, and the first touch
+        # (combine_chunks here, or list_flatten in _array_masks) raises
+        # ArrowIndexError.  Any pyarrow failure on a parsed column means the
+        # column can't be trusted; fall back to the exact dict walk.
+        try:
+            arr = tbl.column(name)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if extra is None:
+                bad = _scalar_masks(arr, sub)
+                if bad is None:
+                    return None
+                amb = None
+            elif extra[0] == "array":
+                res = _array_masks(arr, sub)
+                if res is None:
+                    return None
+                bad, amb = res
+            else:  # ("object", nested_plan)
+                res = _object_masks(arr, extra[1])
+                if res is None:
+                    return None
+                bad, amb = res
 
-        nullm = arr.is_null().to_numpy(zero_copy_only=False)
+            nullm = arr.is_null().to_numpy(zero_copy_only=False)
+        except Exception:
+            return None
         if not null_ok:
             ok &= ~nullm
         if required and null_invalid:
