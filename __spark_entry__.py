@@ -386,6 +386,17 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir)).select("fp", "canonical_id", "n_dups")
 
 
+def q_doc_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState) drained once
+    over the documents table — output contract equals batch exact_dedup, so
+    the same oracle SQL fully value-checks the streaming state path."""
+    from jsonschema_jl_spark.streaming.dedup import dedup_documents_once
+
+    return dedup_documents_once(spark, sf_dir).select(
+        "fp", "canonical_id", "n_dups"
+    )
+
+
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select("doc_id", textops.token_count(F.col("text")).alias("n_tokens"))
@@ -838,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_props_count": q_gate_props_count,
         "gate_additional_props": q_gate_additional_props,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_streaming_dedup": q_doc_streaming_dedup,
         "doc_token_count": q_doc_token_count,
         "doc_text_features": q_doc_text_features,
         "doc_lang_id": q_doc_lang_id,
@@ -1202,6 +1214,10 @@ def _oracle_sql_dict() -> dict[str, str]:
           FROM events
         """,
         "doc_exact_dedup": f"""
+          SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
+          FROM documents GROUP BY 1
+        """,
+        "doc_streaming_dedup": f"""
           SELECT md5({_NORM_SQL}) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
           FROM documents GROUP BY 1
         """,

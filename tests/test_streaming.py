@@ -61,6 +61,118 @@ def test_gated_ingest_appends_valid_and_quarantines(spark, tmp_path):
     assert rej2 == {"b", "c", "f"}
 
 
+DOC_DDL = "doc_id bigint, text string"
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, DOC_DDL).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_dedup_first_seen_wins_across_runs(spark, tmp_path):
+    from jsonschema_jl_spark.streaming import run_streaming_dedup
+
+    src = str(tmp_path / "darr")
+    ckpt = str(tmp_path / "dckpt")
+    sink = str(tmp_path / "dsink")
+    # batch 1: two dups of one text (normalization collapses case/space),
+    # one singleton
+    _write_docs(spark, src, [
+        (7, "Hello  World"),
+        (3, "hello world "),
+        (9, "unique text"),
+    ])
+    out1 = run_streaming_dedup(spark, src, DOC_DDL, ckpt, sink,
+                               id_col="doc_id", text_col="text")
+    got1 = {r.fp: (r.canonical_id, r.n_dups) for r in out1.collect()}
+    assert len(got1) == 2
+    assert (3, 2) in got1.values()  # min id of the dup pair, both counted
+    assert (9, 1) in got1.values()
+
+    # run 2, same checkpoint: a re-arrival of "hello world" must be
+    # suppressed by restored state; only the new fingerprint emits
+    _write_docs(spark, src, [
+        (1, "hello world"),   # dup of a key seen in run 1 (smaller id!)
+        (5, "brand new doc"),
+    ])
+    out2 = run_streaming_dedup(spark, src, DOC_DDL, ckpt, sink,
+                               id_col="doc_id", text_col="text")
+    got2 = {r.fp: (r.canonical_id, r.n_dups) for r in out2.collect()}
+    # sink accumulates: run 1's two rows unchanged (id 1 did NOT re-emit or
+    # rewrite its key) + exactly one new fingerprint from run 2
+    assert len(got2) == 3
+    assert (3, 2) in got2.values() and (9, 1) in got2.values()
+    assert (5, 1) in got2.values()
+
+
+def test_streaming_dedup_matches_batch_exact_dedup(spark, tmp_path):
+    from jsonschema_jl_spark.operators.similarity import exact_dedup
+    from jsonschema_jl_spark.streaming import run_streaming_dedup
+
+    src = str(tmp_path / "darr2")
+    rows = [(i, "doc %d" % (i % 10)) for i in range(40)]
+    _write_docs(spark, src, rows)
+    batch = {
+        (r.fp, r.canonical_id, r.n_dups)
+        for r in exact_dedup(spark.read.parquet(src)).collect()
+    }
+    stream = {
+        (r.fp, r.canonical_id, r.n_dups)
+        for r in run_streaming_dedup(
+            spark, src, DOC_DDL, str(tmp_path / "dckpt2"), str(tmp_path / "dsink2")
+        ).collect()
+    }
+    assert stream == batch
+    assert len(stream) == 10
+
+
+def test_streaming_dedup_ttl_evicts_and_reopens(spark, tmp_path):
+    # TTL = sliding dedup window. AvailableNow + ProcessingTimeTimeout never
+    # terminates (streaming/dedup.py module docstring), so the TTL path runs
+    # as a continuous query: 3 s TTL, emit batch 1, idle past the TTL (keys
+    # evict), then a re-arrival of a seen text must RE-emit with its new id.
+    import time
+
+    from jsonschema_jl_spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "darr3")
+    sink = str(tmp_path / "dsink3")
+    _write_docs(spark, src, [(1, "a a"), (2, "a  a"), (3, "b")])
+    stream = spark.readStream.schema(DOC_DDL).parquet(src)
+    q = (
+        streaming_exact_dedup(stream, id_col="doc_id", text_col="text",
+                              ttl_minutes=0.05)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "dckpt3"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def rows():
+        try:
+            return sorted(
+                (r.canonical_id, r.n_dups)
+                for r in spark.read.parquet(sink).collect()
+            )
+        except Exception:  # sink not created yet
+            return []
+
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(rows()) < 2:
+            time.sleep(1)
+        assert rows() == [(1, 2), (3, 1)]
+        time.sleep(8)  # > TTL while idle: both keys evict
+        _write_docs(spark, src, [(9, "a a")])  # seen text, new id
+        deadline = time.time() + 90
+        while time.time() < deadline and len(rows()) < 3:
+            time.sleep(1)
+        assert rows() == [(1, 2), (3, 1), (9, 1)]
+    finally:
+        q.stop()
+
+
 def test_streaming_gate_matches_batch_verdicts(spark, tmp_path):
     from jsonschema_jl_spark.gate.gate import apply_gate
 
