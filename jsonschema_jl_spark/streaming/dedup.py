@@ -164,6 +164,54 @@ def run_streaming_dedup(
     return spark.read.parquet(sink_dir)
 
 
+def run_gated_dedup_intake(
+    spark: SparkSession,
+    source_dir: str,
+    schema_ddl: str,
+    gate_schema: dict,
+    checkpoint_dir: str,
+    sink_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """The north star's intake story in ONE streaming query: the compiled
+    validation gate filters malformed arrivals, and survivors flow straight
+    into the stateful first-seen-wins dedup — gate and dedup share a single
+    micro-batch boundary, one checkpoint, one state store.
+
+    Rows failing the gate never reach dedup state (their fingerprints are
+    not burned: a later CORRECTED re-submission of the same content under a
+    new id emits normally).  Drains once (AvailableNow, uncapped file
+    trigger => one micro-batch, batch-equal output) and returns everything
+    the sink holds; re-running with the same checkpoint resumes both the
+    source offset log and the dedup state, so only new valid arrivals emit.
+
+    Quarantine of rejects belongs to `run_gated_ingest` (foreachBatch can
+    split valid/invalid); this path is the fast lane where rejects are
+    dropped and only metrics matter — compose the two in a deployment by
+    pointing them at the same arrival directory with separate checkpoints.
+    """
+    from jsonschema_jl_spark.streaming.ingest import gated_stream
+
+    gated = gated_stream(
+        spark, source_dir, schema_ddl, gate_schema, fmt=fmt,
+        max_files_per_trigger=None,
+    )
+    valid = gated.filter(F.col("isvalid")).drop("issue", "isvalid")
+    deduped = streaming_exact_dedup(valid, id_col=id_col, text_col=text_col)
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
 def dedup_documents_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract entry: stream the documents table through the stateful
     dedup in one AvailableNow drain (fresh checkpoint, single micro-batch)

@@ -41,17 +41,19 @@ def gated_stream(
     schema_ddl: str,
     gate_schema: dict,
     fmt: str = "parquet",
+    max_files_per_trigger: int | None = 64,
 ) -> DataFrame:
     """readStream over an arrival directory with the validation gate
     applied per micro-batch.  Returns the streaming DataFrame with
-    `issue`/`isvalid` columns (same contract as batch apply_gate)."""
-    stream = (
-        spark.readStream.format(fmt)
-        .schema(schema_ddl)
-        .option("maxFilesPerTrigger", 64)
-        .load(source_dir)
-    )
-    return apply_gate(stream, gate_schema)
+    `issue`/`isvalid` columns (same contract as batch apply_gate).
+
+    `max_files_per_trigger=None` removes the per-batch file cap so an
+    AvailableNow drain runs ONE micro-batch — required when downstream
+    stateful operators want batch-equal determinism (streaming/dedup.py)."""
+    reader = spark.readStream.format(fmt).schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return apply_gate(reader.load(source_dir), gate_schema)
 
 
 def run_gated_ingest(

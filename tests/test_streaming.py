@@ -125,6 +125,69 @@ def test_streaming_dedup_matches_batch_exact_dedup(spark, tmp_path):
     assert len(stream) == 10
 
 
+def test_gated_dedup_intake_rejects_do_not_burn_fingerprints(spark, tmp_path):
+    # gate -> stateful dedup in ONE streaming query. A row failing the gate
+    # must neither emit nor enter dedup state: a later VALID arrival of the
+    # same content (new id) emits normally.
+    from jsonschema_jl_spark.streaming import run_gated_dedup_intake
+
+    gate = {"type": "object", "properties": {"doc_id": {"minimum": 0}}}
+    src = str(tmp_path / "garr")
+    ckpt = str(tmp_path / "gckpt")
+    sink = str(tmp_path / "gsink")
+
+    _write_docs(spark, src, [
+        (-1, "hello"),   # gate reject (doc_id < 0)
+        (2, "world"),
+        (3, "world "),   # dup of 2 after normalization
+    ])
+    out1 = run_gated_dedup_intake(spark, src, DOC_DDL, gate, ckpt, sink)
+    assert sorted((r.canonical_id, r.n_dups) for r in out1.collect()) == [(2, 2)]
+
+    _write_docs(spark, src, [
+        (7, "hello"),    # same content the reject carried — must emit
+        (8, "world"),    # dup of a state-held key — suppressed
+    ])
+    out2 = run_gated_dedup_intake(spark, src, DOC_DDL, gate, ckpt, sink)
+    assert sorted((r.canonical_id, r.n_dups) for r in out2.collect()) == [
+        (2, 2), (7, 1),
+    ]
+
+
+def test_streaming_dedup_rocksdb_state_store_parity(spark, tmp_path):
+    # ship config pairs the dedup with the RocksDB state store (off-heap
+    # state at 10^12-row scale); same results as the default HDFS-backed
+    # provider, and checkpoint resume still suppresses seen keys.
+    from jsonschema_jl_spark.streaming import run_streaming_dedup
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        src = str(tmp_path / "rarr")
+        ckpt = str(tmp_path / "rckpt")
+        sink = str(tmp_path / "rsink")
+        _write_docs(spark, src, [(4, "x y"), (6, "x  y"), (5, "z")])
+        out = run_streaming_dedup(spark, src, DOC_DDL, ckpt, sink)
+        assert sorted((r.canonical_id, r.n_dups) for r in out.collect()) == [
+            (4, 2), (5, 1),
+        ]
+        _write_docs(spark, src, [(1, "x y"), (2, "w")])  # 1 suppressed
+        out2 = run_streaming_dedup(spark, src, DOC_DDL, ckpt, sink)
+        assert sorted((r.canonical_id, r.n_dups) for r in out2.collect()) == [
+            (2, 1), (4, 2), (5, 1),
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_streaming_dedup_ttl_evicts_and_reopens(spark, tmp_path):
     # TTL = sliding dedup window. AvailableNow + ProcessingTimeTimeout never
     # terminates (streaming/dedup.py module docstring), so the TTL path runs
