@@ -524,17 +524,40 @@ def main() -> None:
             share = remaining * w[cores] / w_sum
             level_deadline[cores] = t_cursor + share
             t_cursor += share
+        failed: dict[int, str] = {}
         for cores in order:
             cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker",
                    str(cores), shm_path, warm_path, str(partitions),
                    f"{level_deadline[cores]:.1f}"]
             if taskset:
                 cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            # a worker crash (JVM OOM/port bind, transient host storm) must
+            # not kill the whole bench and erase the headline record the way
+            # a 2026-08-19 rehearsal did (local[4] exited 1 -> parent
+            # CalledProcessError -> rc=1, scaling lost, worker stderr lost):
+            # retry once, and on a second failure record the level as failed
+            # (stderr tail preserved) so the final JSON still prints.
+            rec = None
+            for attempt in range(2):
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                if proc.returncode == 0 and proc.stdout.strip():
+                    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                    break
+                tail = "\n".join(proc.stderr.strip().splitlines()[-15:])
+                print(
+                    f"scale worker local[{cores}] attempt {attempt + 1} "
+                    f"failed rc={proc.returncode}:\n{tail}",
+                    file=sys.stderr, flush=True,
+                )
+                failed[cores] = f"rc={proc.returncode}: {tail[-500:]}"
+                if time.time() > level_deadline[cores]:
+                    break
+            if rec is None:
+                continue
+            failed.pop(cores, None)
             thr[cores] = scale_rows / rec["seconds"]
             reps_all[cores] = {"seconds": rec.get("all", []),
                                "used": rec.get("used", []),
@@ -544,6 +567,17 @@ def main() -> None:
                                "warm_skipped": rec.get("warm_skipped"),
                                "mem_gbs": rec.get("mem_gbs", []),
                                "steal": rec.get("steal_frac", [])}
+        if lo not in thr or hi not in thr:
+            scaling = {
+                "skipped": "scale worker failed at "
+                           + ", ".join(f"local[{c}]" for c in sorted(failed)),
+                "worker_errors": {f"local[{c}]": m for c, m in failed.items()},
+                "budget_exhausted": True,
+            }
+            out["scaling"] = scaling
+            out["wall_total"] = round(time.time() - t_start, 1)
+            print(json.dumps(out), flush=True)
+            return
         eff = (thr[hi] / thr[lo]) / (hi / lo)
         scaling = {
             "rows": scale_rows,
