@@ -17,6 +17,11 @@ job runs at two taskset-pinned parallelism levels (default local[1] ->
 local[4]) on the same tmpfs input with identical partitioning; efficiency =
 (thr_4N / thr_N) / 4, equal clean-rep counts per level, reps gated on
 CPU-steal and memory-bandwidth probes before AND after each rep.
+SPARK_GRAFT_SCALE_MODE=paired switches to INTERLEAVED reps (both workers
+resident on disjoint pinned core sets, alternating timed reps,
+`_paired_scaling`): per-round same-window ratios expose host-load drift the
+per-level protocol cannot see.  Default remains the sequential protocol of
+record (BENCH_r01-r03 comparability).
 Disable with SPARK_GRAFT_BENCH_SCALING=0.
 
 Wall-clock budget: the whole run is time-boxed by SPARK_GRAFT_BENCH_BUDGET
@@ -218,10 +223,21 @@ def _mem_bandwidth_gbs() -> float:
     return best
 
 
+SPREAD_MAX = 1.25  # clean reps must agree within this ratio (spread gate)
+
+
 def scale_worker(
-    cores: int, path: str, warm_path: str, partitions: int, deadline: float
+    cores: int, path: str, warm_path: str, partitions: int, deadline: float,
+    interactive: bool = False,
 ) -> None:
     """Child-process entry: pipeline timing at local[cores] on `path`.
+
+    With `interactive=True` (paired mode) the worker does NOT self-drive the
+    rep protocol: after the warmups it prints one `{"ready": ...}` JSON line
+    and then runs exactly one timed rep per "rep" line on stdin, emitting one
+    `{"dt": ..., "steal": ..., "bw": [...]}` JSON line per rep — the parent
+    interleaves reps across the two levels so both sample the same noise
+    windows (see _paired_scaling).
 
     Measurement protocol (each point below was measured to matter on this
     box — see BASELINE.md):
@@ -291,6 +307,34 @@ def scale_worker(
         res.labels.count()
         res.cleanup()
         warm_full = round(time.time() - t0, 1)
+
+    if interactive:
+        # paired mode: the PARENT drives the rep protocol (clean gating,
+        # spread gate, budget) so it can interleave the two levels' reps —
+        # this worker just times one pipeline run per "rep" command.
+        print(json.dumps({
+            "ready": True, "rows": n, "est_rep": round(est_rep, 1),
+            "warm_full": warm_full, "warm_skipped": warm_skipped,
+        }), flush=True)
+        while True:
+            line = sys.stdin.readline()
+            if not line or line.strip() != "rep":
+                break
+            bw0 = _mem_bandwidth_gbs()
+            s0, t0 = _steal_jiffies_cores(cores), time.time()
+            res = dedup_pipeline(df, CFG, collect_metrics=False)
+            res.labels.count()
+            dt = time.time() - t0
+            steal_frac = (_steal_jiffies_cores(cores) - s0) / 100.0 / (dt * cores)
+            res.cleanup()
+            bw1 = _mem_bandwidth_gbs()
+            print(json.dumps({
+                "dt": round(dt, 2), "steal": round(steal_frac, 3),
+                "bw": [round(bw0, 2), round(bw1, 2)],
+            }), flush=True)
+        stop_spark(spark)
+        return
+
     # steal-aware repetition: this sandbox is a VM on a shared host; CPU-
     # steal storms lasting minutes inflate whole reps (never deflate).  A
     # rep counts as CLEAN only if steal ON THE PINNED CORES stayed <= 4%
@@ -325,8 +369,7 @@ def scale_worker(
     # the prior) would not fit.  The check gates STARTING a rep — a running
     # rep is never interrupted — so overshoot is bounded by one rep.  The
     # first timed rep always runs (a level with zero reps is worthless).
-    SPREAD_MAX = 1.25
-    times, steals, bands = [], [], []
+    times, steals, bands, seq = [], [], [], []
     attempts, max_attempts = 0, reps + 4
     spread_ok = False
     budget_exhausted = warm_skipped
@@ -342,6 +385,7 @@ def scale_worker(
         res.labels.count()
         dt = time.time() - t0
         last_dt = dt
+        seq.append(round(dt, 1))
         # per-PINNED-core steal fraction (see _steal_jiffies_cores)
         steal_frac = (_steal_jiffies_cores(cores) - s0) / 100.0 / (dt * cores)
         res.cleanup()
@@ -362,11 +406,272 @@ def scale_worker(
     stop_spark(spark)
     print(json.dumps({
         "seconds": min(best), "all": [round(t, 1) for t in sorted(times) or [last_dt]],
+        # `seq` is every attempt's duration in DRAW ORDER (dirty ones
+        # included — cross-reference steal_frac/mem_gbs, same order): the
+        # sorted views above destroy the warm-up-decay / drift signal that
+        # tells a reader WHY a draw was slow
+        "seq": seq,
         "used": [round(t, 1) for t in best], "spread_ok": spread_ok,
         "budget_exhausted": budget_exhausted,
         "warm_full": warm_full, "warm_skipped": warm_skipped,
         "steal_frac": steals, "mem_gbs": bands, "rows": n,
     }))
+
+
+def _stdout_queue(proc):
+    """Background thread draining proc.stdout into a queue.  select()-based
+    polling is WRONG here: readline() buffers ahead, so a line can sit in
+    the userspace buffer while the fd reads as not-ready — a false worker
+    death.  A dedicated reader thread has no such window; EOF posts None."""
+    import queue
+    import threading
+
+    q: "queue.Queue[str | None]" = queue.Queue()
+
+    def drain() -> None:
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=drain, daemon=True).start()
+    return q
+
+
+def _readline_json(q, timeout: float) -> dict | None:
+    """Next JSON line from a worker's stdout queue, skipping non-JSON noise,
+    with a hard timeout (a hung worker must not push the parent past the
+    driver's wall limit — the round-3 rc=124 failure mode)."""
+    import queue
+
+    end = time.time() + timeout
+    while True:
+        remaining = end - time.time()
+        if remaining <= 0:
+            return None
+        try:
+            line = q.get(timeout=min(remaining, 30.0))
+        except queue.Empty:
+            continue
+        if line is None:
+            return None  # EOF: worker exited
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+
+
+def _paired_scaling(
+    pair: tuple[int, int], shm_path: str, warm_path: str, partitions: int,
+    deadline: float, scale_rows: int,
+) -> dict:
+    """Two-level scaling measured with INTERLEAVED reps (paired mode).
+
+    The sequential protocol (one level fully drawn, then the other) is
+    exposed to host-load DRIFT between the two levels' measurement windows:
+    a 2026-08-19 morning draw measured 0.789 with every probe green while
+    local[1] reps ramped 271->410 s, and the first paired draw that
+    afternoon read per-round efficiencies 1.01/0.65/0.65 — minute-scale
+    co-tenant storms that steal accounting and the memcpy probe both miss.
+    Here both levels run as persistent workers pinned to DISJOINT core sets
+    (local[1] -> cpu0, local[4] -> cpu1-4), warm up concurrently (untimed),
+    and then alternate timed reps one at a time, so rep i of each level
+    samples the same noise window and slow drift cancels out of the ratio.
+    While one level runs its rep the other is idle (parked on a stdin read),
+    so the pinned-core isolation of the sequential protocol is preserved.
+    Per-level clean gating (pinned-core steal <= 4%, memcpy probe >= 6 GB/s
+    both ends), the spread gate, min-of-`reps`-fastest-clean, and draw-count
+    symmetry are identical to the sequential path; `paired_rounds` addition-
+    ally reports the per-round efficiency so drift is visible to readers.
+    """
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    lo, hi = pair
+    taskset = shutil.which("taskset")
+    pins = {lo: f"0-{lo - 1}" if lo > 1 else "0", hi: f"{lo}-{lo + hi - 1}"}
+    os.makedirs(CACHE, exist_ok=True)
+
+    def spawn(cores: int):
+        cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker",
+               str(cores), shm_path, warm_path, str(partitions),
+               f"{deadline:.1f}", "--interactive"]
+        if taskset:
+            cmd = [taskset, "-c", pins[cores]] + cmd
+        # stderr to a file, NOT a pipe: Spark logs enough to fill a pipe
+        # buffer and deadlock a parent that only reads stdout
+        err = open(os.path.join(CACHE, f"scale_worker_{cores}.err"), "w")
+        return subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=err,
+            text=True, bufsize=1,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ), err
+
+    procs, errs, queues, ready = {}, {}, {}, {}
+    for cores in (lo, hi):
+        procs[cores], errs[cores] = spawn(cores)
+        queues[cores] = _stdout_queue(procs[cores])
+    # both workers warm concurrently (their cores are disjoint; warmups are
+    # untimed).  Ready arrives before the deadline by construction — the
+    # worker's own budget gate skips the full warm when it cannot fit — so
+    # the wait is bounded by the deadline plus teardown margin.
+    for cores in (lo, hi):
+        ready[cores] = _readline_json(
+            queues[cores], timeout=max(120.0, deadline - time.time() + 300.0)
+        )
+
+    def shutdown() -> None:
+        for cores, proc in procs.items():
+            try:
+                if proc.poll() is None:
+                    proc.stdin.close()
+                    proc.wait(timeout=120)
+            except Exception:
+                proc.kill()
+            errs[cores].close()
+
+    # one respawn per level that failed to become ready (the observed crash
+    # mode is transient JVM startup failure — port bind, host storm)
+    for cores in (lo, hi):
+        if ready.get(cores) or deadline - time.time() < 300:
+            continue
+        try:
+            procs[cores].kill()
+        except Exception:
+            pass
+        errs[cores].close()
+        procs[cores], errs[cores] = spawn(cores)
+        queues[cores] = _stdout_queue(procs[cores])
+        ready[cores] = _readline_json(
+            queues[cores], timeout=max(120.0, deadline - time.time() + 300.0)
+        )
+
+    failed = {c for c in (lo, hi) if not ready.get(c)}
+    if failed:
+        shutdown()
+        return {
+            "mode": "paired",
+            "skipped": "scale worker failed to become ready at "
+                       + ", ".join(f"local[{c}]" for c in sorted(failed)),
+            "budget_exhausted": True,
+        }
+
+    stats = {c: {"clean": [], "seq": [], "steal": [], "bw": []} for c in (lo, hi)}
+    paired: list[dict] = []
+    budget_exhausted = False
+    dead: set[int] = set()
+
+    def level_done(c: int) -> bool:
+        s = stats[c]["clean"]
+        if len(s) < reps:
+            return False
+        best = sorted(s)[:reps]
+        return best[-1] / best[0] <= SPREAD_MAX
+
+    def last_or_est(c: int) -> float:
+        if stats[c]["seq"]:
+            return stats[c]["seq"][-1]
+        return ready[c].get("warm_full") or ready[c]["est_rep"]
+
+    max_rounds = reps + 4
+    for rnd in range(max_rounds):
+        if all(level_done(c) or c in dead for c in (lo, hi)):
+            break
+        est_round = sum(last_or_est(c) for c in (lo, hi) if not level_done(c))
+        if rnd >= 1 and time.time() + est_round > deadline:
+            budget_exhausted = True
+            break
+        round_dts: dict[int, float | None] = {}
+        for cores in (lo, hi):  # lo first within each round, every round
+            if level_done(cores) or cores in dead:
+                continue
+            try:
+                procs[cores].stdin.write("rep\n")
+                procs[cores].stdin.flush()
+            except (BrokenPipeError, OSError):
+                dead.add(cores)
+                continue
+            # generous per-rep bound (a storm can double a rep), but never
+            # so long that a hung worker pushes the parent past the wall
+            # budget by more than ~one rep + teardown
+            rep_timeout = min(
+                max(4 * last_or_est(cores), 900.0),
+                max(120.0, deadline - time.time() + last_or_est(cores) + 120.0),
+            )
+            rec = _readline_json(queues[cores], timeout=rep_timeout)
+            if rec is None or "dt" not in rec:
+                dead.add(cores)
+                continue
+            s = stats[cores]
+            s["seq"].append(rec["dt"])
+            s["steal"].append(rec["steal"])
+            s["bw"].append(rec["bw"])
+            clean = rec["steal"] <= 0.04 and min(rec["bw"]) >= 6.0
+            if clean:
+                s["clean"].append(rec["dt"])
+                round_dts[cores] = rec["dt"]
+        if round_dts.get(lo) and round_dts.get(hi):
+            paired.append({
+                "round": rnd + 1,
+                f"t{lo}": round_dts[lo], f"t{hi}": round_dts[hi],
+                "efficiency": round(
+                    round_dts[lo] / ((hi / lo) * round_dts[hi]), 3
+                ),
+            })
+    shutdown()
+
+    for c in (lo, hi):
+        if c in dead and not stats[c]["clean"]:
+            return {
+                "mode": "paired",
+                "skipped": f"scale worker died at local[{c}] with no clean reps",
+                "budget_exhausted": True,
+                **{f"reps_local{cc}": stats[cc] for cc in (lo, hi)},
+            }
+        if not stats[c]["clean"]:
+            # every draw at this level ran dirty — report the last raw draw,
+            # flagged, rather than nothing (mirrors the sequential path)
+            stats[c]["clean"] = stats[c]["seq"][-1:]
+            budget_exhausted = True
+
+    thr, reps_all = {}, {}
+    for c in (lo, hi):
+        s = stats[c]
+        best = sorted(s["clean"])[:reps]
+        thr[c] = scale_rows / min(best)
+        reps_all[c] = {
+            "seconds": [round(t, 1) for t in sorted(s["clean"])],
+            "seq": [round(t, 1) for t in s["seq"]],
+            "used": [round(t, 1) for t in best],
+            "spread_ok": len(s["clean"]) >= reps
+            and best[-1] / best[0] <= SPREAD_MAX,
+            "budget_exhausted": budget_exhausted or c in dead,
+            "warm_full": ready[c].get("warm_full"),
+            "warm_skipped": ready[c].get("warm_skipped"),
+            "mem_gbs": s["bw"], "steal": s["steal"],
+        }
+    eff = (thr[hi] / thr[lo]) / (hi / lo)
+    scaling = {
+        "mode": "paired",
+        "rows": scale_rows,
+        "cores": list(pair),
+        f"thr_local{lo}": round(thr[lo], 1),
+        f"thr_local{hi}": round(thr[hi], 1),
+        f"reps_local{lo}": reps_all[lo],
+        f"reps_local{hi}": reps_all[hi],
+        "paired_rounds": paired,
+        "spread_ok": bool(
+            reps_all[lo]["spread_ok"] and reps_all[hi]["spread_ok"]
+        ),
+        "budget_exhausted": budget_exhausted or bool(dead),
+        "efficiency": round(min(eff, 1.0), 3),
+    }
+    if eff > 1.05:
+        scaling["noise_note"] = (
+            f"raw ratio {round(eff, 3)} > 1: local[{lo}] draw inflated by "
+            "host noise; see BASELINE.md protocol"
+        )
+    return scaling
 
 
 def main() -> None:
@@ -499,6 +804,25 @@ def main() -> None:
         # smooth stragglers; 2-wave runs showed 14-20% straggler-driven
         # spread.
         partitions = 48
+
+        # SPARK_GRAFT_SCALE_MODE=paired interleaves the two levels' reps
+        # (both workers resident on disjoint pinned core sets, alternating
+        # timed reps) so host-load drift between measurement windows shows
+        # up in per-round ratios instead of silently biasing the comparison
+        # (see _paired_scaling).  Default stays `seq` — the protocol of
+        # record for BENCH_r01-r03 comparability; paired is the diagnostic
+        # mode (its per-round efficiencies expose storms the probes miss:
+        # the 2026-08-19 afternoon draw read 1.01/0.65/0.65 across three
+        # rounds on a probe-green box).
+        if os.environ.get("SPARK_GRAFT_SCALE_MODE", "seq") == "paired":
+            scaling = _paired_scaling(
+                pair, shm_path, warm_path, partitions, deadline, scale_rows
+            )
+            out["scaling"] = scaling
+            out["wall_total"] = round(time.time() - t_start, 1)
+            print(json.dumps(out), flush=True)
+            return
+
         taskset = shutil.which("taskset")
         thr = {}
         reps_all = {}
@@ -615,6 +939,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         scale_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4],
-                     int(sys.argv[5]), float(sys.argv[6]))
+                     int(sys.argv[5]), float(sys.argv[6]),
+                     interactive="--interactive" in sys.argv[7:])
     else:
         main()
