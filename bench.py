@@ -256,12 +256,23 @@ def scale_worker(
       (host CPU-steal windows only ever inflate).
     """
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    # shuffle codec override for A/B runs (the session default is zstd, see
+    # session.py: measured 144.5 -> 116.5 s per local[4] rep vs lz4, tmpfs
+    # shuffle high-water 4.9 -> 1.9 GB; fewer written bytes also means less
+    # exposure to the hypervisor's erratic first-touch page-backing rate,
+    # observed 0.14-10 GB/s on fresh tmpfs pages)
+    codec = os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "")
     spark = get_spark(
         f"bench_scale_{cores}", cores=cores, shuffle_partitions=partitions,
         extra_conf={
             "spark.driver.memory": "8g",
+            # AlwaysPreTouch: fault in the whole fixed heap at JVM start
+            # (untimed) instead of paying hypervisor first-touch backing
+            # latency inside timed reps
             "spark.driver.extraJavaOptions":
-                f"-Xms8g -XX:ParallelGCThreads={cores} -XX:ConcGCThreads={max(1, cores // 4)}",
+                f"-Xms8g -XX:+AlwaysPreTouch -XX:ParallelGCThreads={cores} "
+                f"-XX:ConcGCThreads={max(1, cores // 4)}",
+            **({"spark.io.compression.codec": codec} if codec else {}),
             # AQE off for the scaling measurement ONLY (ship config keeps it
             # on): at this input size its per-query-stage driver replanning
             # is ~17s of serial time that a real 100TB job amortizes over

