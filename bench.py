@@ -84,10 +84,17 @@ def input_path(spark, n_rows: int) -> str:
     return path
 
 
-def run_pipeline(spark, path: str) -> tuple[dict, int]:
-    """Returns per-stage seconds + labeled row count.  Stage timings are
-    taken after one full warmup run (JIT + python worker pool); the
-    headline pipeline number is min-of-2 (host steal only inflates)."""
+def run_pipeline(spark, path: str, deadline_main: float | None = None) -> tuple[dict, int, int, dict]:
+    """Returns per-stage seconds + labeled row count + headline-rep detail.
+    Stage timings are taken after one full warmup run (JIT + python worker
+    pool); the headline pipeline number is PROBE-GATED min-of-clean-reps
+    (same gates as the scaling workers: machine steal <= 4%, memcpy probe
+    >= 6 GB/s both ends, two cleanest reps within 1.3x) — the round-4
+    dress rehearsal showed a main-phase storm inflating even min-of-3
+    (headline 2,656 img/s vs the ~6,900 clean reading) while the probe-
+    gated scaling phase of the SAME run stayed clean.  Redraws are bounded
+    by `deadline_main` so the headline never eats the scaling phase's
+    budget share."""
     timings: dict[str, float] = {}
     images = spark.read.parquet(path)
 
@@ -157,25 +164,48 @@ def run_pipeline(spark, path: str) -> tuple[dict, int]:
         timings["gate_dynamic_filter"] = round(time.time() - t0, 2)
         timings["gate_dynamic_screen_rate"] = gm.as_dict()["screen_rate"]
 
-    runs = []
-    for _ in range(2):
-        t0 = time.time()
+    # headline reps: probe-gated like the scaling workers.  A rep is CLEAN
+    # when machine steal stayed <= 4% and the memcpy probe read >= 6 GB/s
+    # immediately before AND after it; keep drawing (first two always run,
+    # then bounded by attempts + deadline_main) until the two fastest clean
+    # reps agree within 1.3x.  Each rep is ~16-40 s at sf0.1/local[32], so
+    # even the 6-attempt worst case costs ~3 min against a 2700 s budget.
+    runs, clean, steals, bands = [], [], [], []
+    n_labeled = 0
+    attempts, max_attempts = 0, 6
+    headline_ok = False
+    while attempts < max_attempts:
+        if attempts >= 2:
+            if headline_ok:
+                break
+            est = min(runs) if runs else 30.0
+            if deadline_main is not None and time.time() + est > deadline_main:
+                break
+        attempts += 1
+        bw0 = _mem_bandwidth_gbs()
+        s0, t0 = _steal_jiffies(), time.time()
         res = dedup_pipeline(images, CFG)
         n_labeled = res.labels.count()
-        runs.append(round(time.time() - t0, 2))
+        dt = time.time() - t0
+        steal_frac = (_steal_jiffies() - s0) / 100.0 / (dt * os.cpu_count())
         res.cleanup()
-    if max(runs) / max(min(runs), 0.01) > 1.3:
-        # the two draws disagree: at least one was storm-inflated (host
-        # noise only ever ADDS time); one extra draw costs ~1 rep and gives
-        # min-of-3 a much better shot at a clean headline
-        t0 = time.time()
-        res = dedup_pipeline(images, CFG)
-        n_labeled = res.labels.count()
-        runs.append(round(time.time() - t0, 2))
-        res.cleanup()
-    timings["pipeline_full"] = min(runs)
+        bw1 = _mem_bandwidth_gbs()
+        runs.append(round(dt, 2))
+        steals.append(round(steal_frac, 3))
+        bands.append((round(bw0, 2), round(bw1, 2)))
+        if steal_frac <= 0.04 and min(bw0, bw1) >= 6.0:
+            clean.append(round(dt, 2))
+        if len(clean) >= 2 and sorted(clean)[1] / sorted(clean)[0] <= 1.3:
+            headline_ok = True
+            if attempts >= 2:
+                break
+    timings["pipeline_full"] = min(clean) if clean else min(runs)
     timings["pipeline_rerun"] = max(runs)
-    return timings, n_labeled, n_valid
+    headline = {
+        "seq": runs, "steal": steals, "mem_gbs": bands,
+        "clean": sorted(clean), "headline_ok": headline_ok,
+    }
+    return timings, n_labeled, n_valid, headline
 
 
 def _steal_jiffies() -> int:
@@ -200,26 +230,37 @@ def _steal_jiffies_cores(cores: int) -> int:
     return total
 
 
-_BW_BUF = None
+_BW_SRC = None
+_BW_DST = None
 
 
 def _mem_bandwidth_gbs() -> float:
-    """Single-thread memcpy bandwidth probe (max of 3x256MB copies).
-    Co-tenant interference on this shared host shows up as bandwidth loss
-    (~2.8 GB/s clean) even when CPU-steal accounting reads ~0 — the probe
-    catches what /proc/stat cannot."""
-    global _BW_BUF
+    """Single-thread memcpy bandwidth probe (max of 3x256MB copies into a
+    PERSISTENT pre-faulted destination — allocation-free, so the reading is
+    pure bus bandwidth in every process).  Co-tenant interference on this
+    shared host shows up as bandwidth loss even when CPU-steal accounting
+    reads ~0 — the probe catches what /proc/stat cannot.
+
+    Why copyto and not .copy(): glibc reads MALLOC_* env at process START,
+    so the session's arena tuning only reaches child processes — a .copy()
+    probe read 8-10 GB/s clean in the scale workers (arena-warm) but ~2.9
+    GB/s clean in the bench parent (fresh mmap + kernel page-zeroing per
+    copy), i.e. the same 6.0 floor classified every parent rep dirty.  The
+    pre-faulted copyto reads ~8.6 GB/s clean in BOTH, keeping one
+    calibration."""
+    global _BW_SRC, _BW_DST
     import numpy as np
 
-    if _BW_BUF is None:
-        _BW_BUF = np.empty(256 * 1024 * 1024, dtype=np.uint8)
-        _BW_BUF[::4096] = 1
+    if _BW_SRC is None:
+        _BW_SRC = np.empty(256 * 1024 * 1024, dtype=np.uint8)
+        _BW_SRC[::4096] = 1
+        _BW_DST = np.empty_like(_BW_SRC)
+        _BW_DST[::4096] = 1
     best = 0.0
     for _ in range(3):
         t0 = time.time()
-        b = _BW_BUF.copy()
+        np.copyto(_BW_DST, _BW_SRC)
         best = max(best, 0.25 / (time.time() - t0))
-        del b
     return best
 
 
@@ -730,7 +771,14 @@ def main() -> None:
             "spark.driver.extraJavaOptions": "-Xms16g",
         },
     )
-    timings, n_labeled, n_valid = run_pipeline(spark, path)
+    # reserve the scaling phase's expected wall share out of the headline
+    # redraw budget (the first two headline reps always run regardless):
+    # the full two-level protocol needs ~1,600-1,900 s of the 2,700 s
+    # default budget (BASELINE.md round-4 rehearsals), so extra headline
+    # redraws may only spend what the scaling phase can spare
+    reserve = float(os.environ.get("SPARK_GRAFT_SCALE_RESERVE", "1900"))
+    deadline_main = deadline - reserve if do_scaling else deadline
+    timings, n_labeled, n_valid, headline = run_pipeline(spark, path, deadline_main)
     stop_spark(spark)
     shutdown_jvm()
     wall = timings["pipeline_full"]
@@ -746,6 +794,9 @@ def main() -> None:
         "valid_rows": n_valid,
         "labeled_rows": n_labeled,
         "cpus": cpus,
+        # raw headline reps in draw order + probe readings, so a reader can
+        # judge the headline's draw quality exactly like the scaling reps'
+        "headline_reps": headline,
     }
     # EARLY FLUSH (round-3 driver record was rc=124 with parsed:null): emit
     # the headline JSON line NOW, before the scaling phase, so a hard kill
