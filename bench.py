@@ -421,10 +421,14 @@ def scale_worker(
     # the prior) would not fit.  The check gates STARTING a rep — a running
     # rep is never interrupted — so overshoot is bounded by one rep.  The
     # first timed rep always runs (a level with zero reps is worthless).
+    # budget_exhausted means exactly "stopped DRAWING REPS because the share
+    # ran out" — a skipped warmup is its own flag (warm_skipped); conflating
+    # them stamped the round-4 rehearsal's spread-clean 3-rep level as
+    # exhausted when no rep was ever cut short
     times, steals, bands, seq = [], [], [], []
     attempts, max_attempts = 0, reps + 4
     spread_ok = False
-    budget_exhausted = warm_skipped
+    budget_exhausted = False
     last_dt = warm_full if warm_full is not None else est_rep
     while attempts < max_attempts:
         if attempts >= 1 and time.time() + last_dt > deadline:
