@@ -191,14 +191,19 @@ def resumable_pipeline(
             normalize_udf(F.col("caption")).alias("txt_norm"),
             "phash",
         )
+        # bands stored alongside the signatures (+num_bands longs/row, ~12%
+        # of the minhash bytes) so a resumed run banding-explodes the
+        # checkpoint directly — same plain-posexplode hot path as
+        # dedup_pipeline, no slice/hash recompute
         sigs = with_signatures(
-            slim, text_col="txt_norm", cfg=cfg, keep_shingles=False, assume_normalized=True
+            slim, text_col="txt_norm", cfg=cfg, keep_shingles=False,
+            assume_normalized=True, with_bands=True,
         )
         ckpt.write_stage(sigs, "signatures", id_col="image_id", n_buckets=n_buckets)
     sigs = ckpt.read_stage(spark, "signatures")
 
     if not ckpt.stage_complete("edges", n_buckets):
-        buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
+        buckets = band_buckets(sigs, id_col="nid", cfg=cfg, bands_col="bands")
         cands = candidate_pairs(buckets, cfg)
         cap = verify_jaccard_text(
             cands, sigs, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True

@@ -273,8 +273,34 @@ _SIG_SCHEMA = T.StructType(
 )
 
 
+def band_keys_np(sigs_i64: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(n, num_bands) int64 LSH bucket keys from an (n, num_perm) signature
+    matrix — band b's key is a splitmix fold of the band's rows_per_band
+    signature lanes, salted by the band index.
+
+    This replaces per-row JVM banding (num_bands x xxhash64(slice(sig, ...))
+    Catalyst expressions): at 108k rows x 32 bands the codegen span for
+    slice+hash+posexplode measured 147 s of CPU — the dominant JVM cost of
+    the whole signature stage — while this fold is rows_per_band vectorized
+    passes over the matrix (~ms per batch).  Bucket keys are internal join
+    keys: candidates are pairs agreeing on a band's CONTENT, so any
+    deterministic injective-up-to-collision fold yields the same verified
+    pairs as the xxhash64 formulation (collision odds ~n_bands*n^2/2^64;
+    tests assert pair-set parity with the JVM path)."""
+    n = sigs_i64.shape[0]
+    B, r = cfg.num_bands, cfg.rows_per_band
+    lanes = np.ascontiguousarray(sigs_i64).view(np.uint64).reshape(n, B, r)
+    h = np.broadcast_to(
+        _splitmix(np.arange(B, dtype=np.uint64) ^ np.uint64(cfg.minhash_seed)), (n, B)
+    ).copy()
+    for j in range(r):
+        h = _splitmix(h ^ lanes[:, :, j])
+    return h.view(np.int64)
+
+
 def _signatures_map_in_arrow(
-    df: DataFrame, text_col: str, cfg: DedupConfig, normalized: bool
+    df: DataFrame, text_col: str, cfg: DedupConfig, normalized: bool,
+    with_bands: bool = False,
 ) -> DataFrame:
     """minhash column via mapInArrow with zero-copy Arrow I/O — the pipeline
     hot path (keep_shingles=False).
@@ -291,9 +317,12 @@ def _signatures_map_in_arrow(
 
     P = cfg.num_perm
     k = cfg.shingle_k
-    out_schema_t = T.StructType(
-        df.schema.fields + [T.StructField("minhash", T.ArrayType(T.LongType()), False)]
-    )
+    extra_fields = [T.StructField("minhash", T.ArrayType(T.LongType()), False)]
+    if with_bands:
+        # precomputed LSH bucket keys (see band_keys_np) — lsh.band_buckets
+        # then reduces to a plain posexplode, no JVM slice/hash expressions
+        extra_fields.append(T.StructField("bands", T.ArrayType(T.LongType()), False))
+    out_schema_t = T.StructType(df.schema.fields + extra_fields)
     col_names = list(df.columns)
     col_idx = col_names.index(text_col)
 
@@ -352,10 +381,18 @@ def _signatures_map_in_arrow(
             ).reshape(-1)
             offsets = pa.array((np.arange(n + 1, dtype=np.int64) * P).astype(np.int32))
             minhash = pa.ListArray.from_arrays(offsets, pa.array(sigs, type=pa.int64()))
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(batch.num_columns)] + [minhash],
-                names=col_names + ["minhash"],
-            )
+            out_cols = [batch.column(i) for i in range(batch.num_columns)] + [minhash]
+            out_names = col_names + ["minhash"]
+            if with_bands:
+                bk = band_keys_np(sigs.reshape(n, P), cfg).reshape(-1)
+                boff = pa.array(
+                    (np.arange(n + 1, dtype=np.int64) * cfg.num_bands).astype(np.int32)
+                )
+                out_cols.append(
+                    pa.ListArray.from_arrays(boff, pa.array(bk, type=pa.int64()))
+                )
+                out_names.append("bands")
+            yield pa.RecordBatch.from_arrays(out_cols, names=out_names)
 
     return df.mapInArrow(gen, schema=out_schema_t)
 
@@ -380,7 +417,7 @@ def _classic_signatures_flat(
 def with_signatures(
     df: DataFrame, text_col: str = "caption", cfg: DedupConfig = DEFAULT_CONFIG,
     repartition: bool = True, keep_shingles: bool = True,
-    assume_normalized: bool = False,
+    assume_normalized: bool = False, with_bands: bool = False,
 ) -> DataFrame:
     """Add `minhash: array<long>` (and, when keep_shingles, the
     `shingles: array<long>` set) columns.
@@ -388,6 +425,11 @@ def with_signatures(
     keep_shingles=False skips materializing the shingle sets (~1 KB/row of
     Arrow transfer + cache); the verification stage recomputes shingles for
     the tiny candidate subset instead (verify.verify_jaccard_text).
+
+    with_bands=True (hot path only, requires keep_shingles=False) also emits
+    `bands: array<long>` — the num_bands LSH bucket keys computed vectorized
+    in the same kernel pass (band_keys_np), so banding downstream is a plain
+    posexplode instead of num_bands slice+xxhash64 Catalyst expressions.
 
     The Arrow kernel's parallelism equals the input partition count; a
     column-pruned scan of a few large files yields too few partitions to
@@ -407,7 +449,11 @@ def with_signatures(
         df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     if not keep_shingles:
         # hot path: zero-copy Arrow kernel (see _signatures_map_in_arrow)
-        return _signatures_map_in_arrow(df, text_col, cfg, normalized=assume_normalized)
+        return _signatures_map_in_arrow(
+            df, text_col, cfg, normalized=assume_normalized, with_bands=with_bands
+        )
+    if with_bands:
+        raise ValueError("with_bands requires keep_shingles=False (hot path)")
     out = df.withColumn("__sig", sig_udf(F.col(text_col)))
     return out.withColumn("shingles", F.col("__sig.shingles")).withColumn(
         "minhash", F.col("__sig.minhash")

@@ -105,9 +105,10 @@ def dedup_pipeline(
         sigs = with_signatures(
             slim, text_col="txt_norm", cfg=cfg, keep_shingles=False,
             assume_normalized=True, repartition=False,  # slim is already rebalanced
+            with_bands=True,  # bucket keys computed in the kernel (band_keys_np)
         )
 
-        buckets = band_buckets(sigs, id_col="nid", sig_col="minhash", cfg=cfg)
+        buckets = band_buckets(sigs, id_col="nid", cfg=cfg, bands_col="bands")
         # registry-managed persists for the three detectors' shared subtrees
         # (banded bucket rows, phash block rows, container gram rows): each is
         # referenced by BOTH a size-count branch and a join branch, and without

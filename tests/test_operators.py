@@ -236,6 +236,46 @@ def test_salted_pairs_equal_capped_union(spark):
     buckets.unpersist()
 
 
+def test_kernel_bands_pair_parity(spark):
+    """Kernel-computed band keys (band_keys_np via with_bands=True) must
+    yield the SAME candidate pair set as the JVM slice+xxhash64 path —
+    the bucket hash is an internal join key; grouping semantics are by
+    band content, so the two formulations may differ only by 64-bit hash
+    collisions (none at test scale)."""
+    images = generate_images(spark, 400, CFG, with_bytes=False, with_malformed=False)
+    slim = images.select("image_id", "caption", "phash")
+    sigs = with_signatures(slim, cfg=CFG, keep_shingles=False, with_bands=True).persist()
+    b_kernel = band_buckets(sigs, cfg=CFG, bands_col="bands")
+    b_jvm = band_buckets(sigs, sig_col="minhash", cfg=CFG)
+    pk = {(r.src, r.dst) for r in candidate_pairs(b_kernel, CFG).collect()}
+    pj = {(r.src, r.dst) for r in candidate_pairs(b_jvm, CFG).collect()}
+    assert pk == pj and len(pk) > 0
+    sigs.unpersist()
+
+
+def test_band_keys_np_semantics():
+    """Equal band slices -> equal keys; any differing lane -> different key
+    (w.h.p.); band index salts the fold (same content in different bands
+    must not collide into one bucket)."""
+    import dataclasses
+    import numpy as np
+    from jsonschema_jl_spark.operators.minhash import band_keys_np
+
+    cfg = dataclasses.replace(CFG, num_perm=16, num_bands=4, rows_per_band=4)
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 1 << 62, size=(1, 16)).astype(np.int64)
+    twin = base.copy()                      # identical row
+    diff = base.copy(); diff[0, 5] ^= 1     # flip one lane of band 1
+    keys = band_keys_np(np.vstack([base, twin, diff]), cfg)
+    assert (keys[0] == keys[1]).all()
+    assert keys[0][1] != keys[2][1]         # band 1 differs
+    assert keys[0][0] == keys[2][0]         # band 0 untouched
+    # same content placed in band 0 vs band 1 -> different keys (band salt)
+    sym = np.tile(base[0, :4], 4)[None, :].astype(np.int64)
+    ks = band_keys_np(sym, cfg)[0]
+    assert len(set(ks.tolist())) == 4
+
+
 def test_suffix_array_matches_anchor_join(spark):
     images = generate_images(spark, 300, CFG, with_bytes=False, with_malformed=False)
     slim = images.select("image_id", "caption", "phash")
