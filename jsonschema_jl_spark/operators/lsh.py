@@ -1,8 +1,10 @@
 """LSH banding, bucket grouping, skew-aware candidate pair generation (P4-P6).
 
 Spark-first design:
-  * banding is a native posexplode over JVM-side F.hash of signature slices —
-    no Python;
+  * banding is a native posexplode of precomputed bucket keys — the
+    signature kernel emits them vectorized (minhash.band_keys_np), so the
+    explode carries no per-row hashing; a JVM-side xxhash64-over-slices
+    fallback serves callers holding bare signatures;
   * candidate pairs come from a self-equi-join on the bucket key (the band
     id is folded into the bucket hash, so `bucket` alone is the join key),
     which AQE can skew-split; the join's shuffle partitioning on `bucket` is
