@@ -236,19 +236,27 @@ def test_salted_pairs_equal_capped_union(spark):
     buckets.unpersist()
 
 
-def test_kernel_bands_pair_parity(spark):
+@pytest.mark.parametrize(
+    "shape", [None, {"num_perm": 128, "num_bands": 32, "rows_per_band": 4},
+              {"num_perm": 64, "num_bands": 8, "rows_per_band": 8}]
+)
+def test_kernel_bands_pair_parity(spark, shape):
     """Kernel-computed band keys (band_keys_np via with_bands=True) must
     yield the SAME candidate pair set as the JVM slice+xxhash64 path —
     the bucket hash is an internal join key; grouping semantics are by
     band content, so the two formulations may differ only by 64-bit hash
-    collisions (none at test scale)."""
-    images = generate_images(spark, 400, CFG, with_bytes=False, with_malformed=False)
+    collisions (none at test scale).  Parametrized over banding shapes
+    so the (n, B, r) reshape/fold stays aligned with the JVM slicing."""
+    import dataclasses
+
+    cfg = CFG if shape is None else dataclasses.replace(CFG, **shape)
+    images = generate_images(spark, 400, cfg, with_bytes=False, with_malformed=False)
     slim = images.select("image_id", "caption", "phash")
-    sigs = with_signatures(slim, cfg=CFG, keep_shingles=False, with_bands=True).persist()
-    b_kernel = band_buckets(sigs, cfg=CFG, bands_col="bands")
-    b_jvm = band_buckets(sigs, sig_col="minhash", cfg=CFG)
-    pk = {(r.src, r.dst) for r in candidate_pairs(b_kernel, CFG).collect()}
-    pj = {(r.src, r.dst) for r in candidate_pairs(b_jvm, CFG).collect()}
+    sigs = with_signatures(slim, cfg=cfg, keep_shingles=False, with_bands=True).persist()
+    b_kernel = band_buckets(sigs, cfg=cfg, bands_col="bands")
+    b_jvm = band_buckets(sigs, sig_col="minhash", cfg=cfg)
+    pk = {(r.src, r.dst) for r in candidate_pairs(b_kernel, cfg).collect()}
+    pj = {(r.src, r.dst) for r in candidate_pairs(b_jvm, cfg).collect()}
     assert pk == pj and len(pk) > 0
     sigs.unpersist()
 
