@@ -128,12 +128,15 @@ def run_pipeline(spark, path: str, deadline_main: float | None = None) -> tuple[
     # the first action after the big warm pipeline absorbs that run's
     # deferred cleanup (ContextCleaner unpersists, GC of shuffle state) —
     # measured 8.8 s for a native gate whose steady state is ~1 s
-    def _min_of_2(fn) -> float:
-        """Two timed draws, report the min — host storms only ever inflate
-        (the full-rehearsal record shows a warmed native gate drawing 51 s
-        vs its 0.9 s steady state on a single storm-hit draw)."""
+    def _min_of_2(fn, draws_n: int = 3) -> float:
+        """min over a few timed draws — host storms only ever inflate (the
+        full-rehearsal record shows a warmed native gate drawing 51 s vs its
+        0.9 s steady state on a single storm-hit draw; a v6-run storm window
+        inflated min-of-2 gate_dynamic to 4.39 s vs its 0.67 s steady state,
+        hence three draws: each is ~0.5-4 s, so the extra draw costs seconds
+        against the 2700 s budget)."""
         draws = []
-        for _ in range(2):
+        for _ in range(draws_n):
             t0 = time.time()
             fn()
             draws.append(time.time() - t0)
@@ -180,10 +183,15 @@ def run_pipeline(spark, path: str, deadline_main: float | None = None) -> tuple[
         # (negligible overhead) so the screen hit-rate — the dynamic gate's
         # cost multiplier — is observable per bench run.
         gate_filter(ev, dyn_schema, json_col="props").count()  # warm
-        gm = GateMetrics(spark)
-        t0 = time.time()
-        gate_filter(ev, dyn_schema, json_col="props", metrics=gm).count()
-        timings["gate_dynamic_filter"] = round(time.time() - t0, 2)
+        best, gm = None, None
+        for _ in range(2):
+            g = GateMetrics(spark)
+            t0 = time.time()
+            gate_filter(ev, dyn_schema, json_col="props", metrics=g).count()
+            dt = round(time.time() - t0, 2)
+            if best is None or dt < best:
+                best, gm = dt, g
+        timings["gate_dynamic_filter"] = best
         timings["gate_dynamic_screen_rate"] = gm.as_dict()["screen_rate"]
 
     # headline reps: probe-gated like the scaling workers.  A rep is CLEAN
