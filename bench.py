@@ -714,11 +714,15 @@ def _paired_scaling(
                 "budget_exhausted": True,
                 **{f"reps_local{cc}": stats[cc] for cc in (lo, hi)},
             }
+    all_dirty: set[int] = set()
+    for c in (lo, hi):
         if not stats[c]["clean"]:
             # every draw at this level ran dirty — report the last raw draw,
-            # flagged, rather than nothing (mirrors the sequential path)
+            # flagged as all_reps_dirty (host noise), which is distinct from
+            # budget_exhausted (wall budget bound) — the same separation the
+            # sequential path keeps between warm_skipped and exhaustion
             stats[c]["clean"] = stats[c]["seq"][-1:]
-            budget_exhausted = True
+            all_dirty.add(c)
 
     thr, reps_all = {}, {}
     for c in (lo, hi):
@@ -732,6 +736,7 @@ def _paired_scaling(
             "spread_ok": len(s["clean"]) >= reps
             and best[-1] / best[0] <= SPREAD_MAX,
             "budget_exhausted": budget_exhausted or c in dead,
+            "all_reps_dirty": c in all_dirty,
             "warm_full": ready[c].get("warm_full"),
             "warm_skipped": ready[c].get("warm_skipped"),
             "mem_gbs": s["bw"], "steal": s["steal"],
@@ -750,6 +755,7 @@ def _paired_scaling(
             reps_all[lo]["spread_ok"] and reps_all[hi]["spread_ok"]
         ),
         "budget_exhausted": budget_exhausted or bool(dead),
+        "all_reps_dirty": bool(all_dirty),
         "efficiency": round(min(eff, 1.0), 3),
     }
     if eff > 1.05:
@@ -964,15 +970,32 @@ def main() -> None:
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
                 if proc.returncode == 0 and proc.stdout.strip():
-                    rec = json.loads(proc.stdout.strip().splitlines()[-1])
-                    break
+                    # the record is the LAST JSON-parseable stdout line;
+                    # JVM shutdown chatter can print after it, and an
+                    # unguarded json.loads here would re-create the exact
+                    # lost-record failure this retry block exists to prevent
+                    for line in reversed(proc.stdout.strip().splitlines()):
+                        line = line.strip()
+                        if not line.startswith("{"):
+                            continue
+                        try:
+                            rec = json.loads(line)
+                            break
+                        except json.JSONDecodeError:
+                            continue
+                    if rec is not None:
+                        break
+                reason = (
+                    f"rc={proc.returncode}" if proc.returncode
+                    else "no JSON record on stdout"
+                )
                 tail = "\n".join(proc.stderr.strip().splitlines()[-15:])
                 print(
                     f"scale worker local[{cores}] attempt {attempt + 1} "
-                    f"failed rc={proc.returncode}:\n{tail}",
+                    f"failed {reason}:\n{tail}",
                     file=sys.stderr, flush=True,
                 )
-                failed[cores] = f"rc={proc.returncode}: {tail[-500:]}"
+                failed[cores] = f"{reason}: {tail[-500:]}"
                 if time.time() > level_deadline[cores]:
                     break
             if rec is None:

@@ -228,13 +228,15 @@ def _to_np(arrow_bool) -> np.ndarray:
     return arrow_bool.fill_null(False).to_numpy(zero_copy_only=False)
 
 
-def _scalar_masks(arr, sub: dict) -> np.ndarray | None:
+def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray | None:
     """Definitive-failure mask over `arr`'s values under scalar subschema
     `sub`.  Bits are set only for PRESENT (non-null) values — null slots are
     judged by the caller, which knows whether null means absent-or-null (a
     column cell) or a genuine JSON null (a list element).  Returns None when
     the whole batch must fall back (numbers beyond the float64-exact range,
-    timestamp-inferred strings)."""
+    timestamp-inferred strings).  `nullm` lets a caller that already
+    materialized arr's null bitmap share it (one full-column pass saved per
+    property per batch on the dynamic gate's hot path)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -245,7 +247,8 @@ def _scalar_masks(arr, sub: dict) -> np.ndarray | None:
     is_num = pa.types.is_integer(t) or pa.types.is_floating(t)
     is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
     is_bool = pa.types.is_boolean(t)
-    nullm = arr.is_null().to_numpy(zero_copy_only=False)
+    if nullm is None:
+        nullm = arr.is_null().to_numpy(zero_copy_only=False)
     present = ~nullm
     if not (is_num or is_str or is_bool):
         if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
@@ -341,9 +344,11 @@ def _scalar_masks(arr, sub: dict) -> np.ndarray | None:
     return bad & present
 
 
-def _array_masks(arr, sub: dict) -> tuple[np.ndarray, np.ndarray] | None:
+def _array_masks(
+    arr, sub: dict, nullm: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray] | None:
     """(bad, ambiguous) over an array-typed property's column; bits only on
-    present slots.  None -> batch fallback."""
+    present slots.  None -> batch fallback.  `nullm`: see _scalar_masks."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -352,7 +357,9 @@ def _array_masks(arr, sub: dict) -> tuple[np.ndarray, np.ndarray] | None:
     t = arr.type
     if pa.types.is_null(t):
         return zeros, zeros.copy()
-    present = ~arr.is_null().to_numpy(zero_copy_only=False)
+    if nullm is None:
+        nullm = arr.is_null().to_numpy(zero_copy_only=False)
+    present = ~nullm
     if not (pa.types.is_list(t) or pa.types.is_large_list(t)):
         if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
             return None
@@ -376,7 +383,8 @@ def _array_masks(arr, sub: dict) -> tuple[np.ndarray, np.ndarray] | None:
             # alignment probe: flatten and value-length must agree on the
             # element layout (they do on pyarrow 16; a future change walks)
             return None
-        ebad = _scalar_masks(vals, items)
+        vals_null = vals.is_null().to_numpy(zero_copy_only=False)
+        ebad = _scalar_masks(vals, items, nullm=vals_null)
         if ebad is None:
             return None
         # a null ELEMENT is a genuine JSON null (no absent reading inside a
@@ -384,7 +392,7 @@ def _array_masks(arr, sub: dict) -> tuple[np.ndarray, np.ndarray] | None:
         # definitively passes otherwise (range/length/pattern apply only to
         # matching primitive types)
         if _null_invalid(items):
-            ebad = ebad | vals.is_null().to_numpy(zero_copy_only=False)
+            ebad = ebad | vals_null
         if len(vals):
             rows = np.repeat(np.arange(m, dtype=np.int64), counts)
             hits = np.bincount(rows[ebad], minlength=m) > 0
@@ -392,9 +400,12 @@ def _array_masks(arr, sub: dict) -> tuple[np.ndarray, np.ndarray] | None:
     return bad, zeros
 
 
-def _object_masks(arr, nested: dict) -> tuple[np.ndarray, np.ndarray] | None:
+def _object_masks(
+    arr, nested: dict, nullm: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray] | None:
     """(bad, ambiguous) over a one-level-nested object property's column;
-    bits only on present slots.  None -> batch fallback."""
+    bits only on present slots.  None -> batch fallback.  `nullm`: see
+    _scalar_masks."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -403,7 +414,9 @@ def _object_masks(arr, nested: dict) -> tuple[np.ndarray, np.ndarray] | None:
     t = arr.type
     if pa.types.is_null(t):
         return zeros, zeros.copy()
-    present = ~arr.is_null().to_numpy(zero_copy_only=False)
+    if nullm is None:
+        nullm = arr.is_null().to_numpy(zero_copy_only=False)
+    present = ~nullm
     if not pa.types.is_struct(t):
         if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
             return None
@@ -424,12 +437,13 @@ def _object_masks(arr, nested: dict) -> tuple[np.ndarray, np.ndarray] | None:
             child = child.combine_chunks()
         # child null where outer present = field null-or-absent (ambiguous,
         # same as a top-level null cell)
-        cnull = child.is_null().to_numpy(zero_copy_only=False) & present
+        child_null = child.is_null().to_numpy(zero_copy_only=False)
+        cnull = child_null & present
         if f_req and f_null_inv:
             bad |= cnull
         elif not f_null_ok:
             amb |= cnull
-        cbad = _scalar_masks(child, fsub)
+        cbad = _scalar_masks(child, fsub, nullm=child_null)
         if cbad is None:
             return None
         bad |= cbad & present
@@ -508,23 +522,24 @@ def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] |
             arr = tbl.column(name)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
+            # one null-bitmap expansion per property per batch, shared with
+            # the mask helpers (they'd otherwise each recompute it)
+            nullm = arr.is_null().to_numpy(zero_copy_only=False)
             if extra is None:
-                bad = _scalar_masks(arr, sub)
+                bad = _scalar_masks(arr, sub, nullm=nullm)
                 if bad is None:
                     return None
                 amb = None
             elif extra[0] == "array":
-                res = _array_masks(arr, sub)
+                res = _array_masks(arr, sub, nullm=nullm)
                 if res is None:
                     return None
                 bad, amb = res
             else:  # ("object", nested_plan)
-                res = _object_masks(arr, extra[1])
+                res = _object_masks(arr, extra[1], nullm=nullm)
                 if res is None:
                     return None
                 bad, amb = res
-
-            nullm = arr.is_null().to_numpy(zero_copy_only=False)
         except Exception:
             return None
         if not null_ok:

@@ -14,7 +14,14 @@ Layout:
 Manifest records lineage (input descriptor, config hash, engine version),
 per-bucket row counts, and completion flags.  Resume = recompute only the
 buckets missing from the manifest; a config change hashes to a different
-directory, so stale state can never be mixed in.
+directory, so stale state can never be mixed in.  The directory name also
+carries LAYOUT_VERSION — the version of the ON-DISK stage schema (column
+set of each checkpointed stage), bumped whenever the engine changes what a
+stage stores (e.g. v2 added the `bands` column to signatures).  A resumed
+run under a new engine therefore never reads a stage written in an older
+layout: the old directory is simply orphaned and the run recomputes under
+the new one, which extends the stale-state guarantee to engine upgrades
+where DedupConfig itself (and thus config_hash) is unchanged.
 """
 
 from __future__ import annotations
@@ -29,6 +36,12 @@ from jsonschema_jl_spark import __version__
 from jsonschema_jl_spark.config import DedupConfig
 
 
+# Version of the on-disk stage layout (NOT the dedup semantics — that is
+# DedupConfig.config_hash()).  Bump when a stage's stored column set changes.
+# v2: signatures stage stores precomputed LSH `bands` alongside the minhash.
+LAYOUT_VERSION = 2
+
+
 def bucket_col(id_col: str, n_buckets: int):
     """Deterministic partition bucket (maps to Iceberg `bucket(N, id)`)."""
     return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
@@ -39,7 +52,7 @@ class CheckpointManager:
         self.root = root
         self.cfg = cfg
         self.input_desc = input_desc
-        self.base = os.path.join(root, cfg.config_hash())
+        self.base = os.path.join(root, f"{cfg.config_hash()}_L{LAYOUT_VERSION}")
         os.makedirs(self.base, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
@@ -93,6 +106,7 @@ class CheckpointManager:
         manifest.setdefault("buckets", {})
         manifest["config_hash"] = self.cfg.config_hash()
         manifest["engine_version"] = __version__
+        manifest["layout_version"] = LAYOUT_VERSION
         manifest["lineage"] = {
             "input": self.input_desc,
             "n_buckets": n_buckets,

@@ -121,6 +121,30 @@ def streaming_exact_dedup(
     )
 
 
+def _drain_to_sink(
+    spark: SparkSession,
+    deduped: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Drain a streaming dedup DataFrame once (Trigger.AvailableNow) into a
+    parquet file sink and read back everything emitted so far.  The read-back
+    passes the stream's own schema explicitly so a drain that emitted ZERO
+    rows (e.g. every arrival gate-rejected, or fully state-suppressed on a
+    resumed checkpoint) returns an empty DataFrame with the contract shape
+    instead of failing parquet schema inference on an empty sink."""
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(deduped.schema).parquet(sink_dir)
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -152,16 +176,7 @@ def run_streaming_dedup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
     deduped = streaming_exact_dedup(stream, id_col=id_col, text_col=text_col)
-    q = (
-        deduped.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(sink_dir)
+    return _drain_to_sink(spark, deduped, sink_dir, checkpoint_dir)
 
 
 def run_gated_dedup_intake(
@@ -200,16 +215,7 @@ def run_gated_dedup_intake(
     )
     valid = gated.filter(F.col("isvalid")).drop("issue", "isvalid")
     deduped = streaming_exact_dedup(valid, id_col=id_col, text_col=text_col)
-    q = (
-        deduped.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(sink_dir)
+    return _drain_to_sink(spark, deduped, sink_dir, checkpoint_dir)
 
 
 def dedup_documents_once(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -60,6 +60,12 @@ def test_config_hash_isolation(spark, images, tmp_path):
     c1 = CheckpointManager(root, CFG)
     c2 = CheckpointManager(root, DedupConfig(jaccard_tau=0.8))
     assert c1.base != c2.base
+    # the base dir also carries the on-disk layout version, so an engine
+    # upgrade that changes a stage's stored columns (config_hash unchanged)
+    # never resumes from an old-layout checkpoint
+    from jsonschema_jl_spark.io.checkpoint import LAYOUT_VERSION
+
+    assert c1.base.endswith(f"_L{LAYOUT_VERSION}")
     resumable_signatures(spark, images, c1, CFG, n_buckets=2)
     assert c1.stage_complete("signatures", 2)
     assert not c2.stage_complete("signatures", 2)
@@ -165,7 +171,7 @@ def test_resumable_pipeline_matches_direct_and_resumes(spark, tmp_path):
     # resume: wipe the labels stage only; signatures/edges must be reused
     import shutil as sh
 
-    sh.rmtree(str(tmp_path / "rp" / CFG.config_hash() / "labels"))
+    sh.rmtree(os.path.join(ckpt.base, "labels"))
     sig_manifest_before = ckpt.read_manifest("signatures")
     labels2 = resumable_pipeline(spark, images, ckpt, CFG, n_buckets=4)
     assert partition(labels2.collect()) == p1

@@ -154,6 +154,28 @@ def test_gated_dedup_intake_rejects_do_not_burn_fingerprints(spark, tmp_path):
     ]
 
 
+def test_gated_dedup_intake_all_rejected_returns_empty_contract_shape(spark, tmp_path):
+    # a drain in which EVERY arrival is gate-rejected writes zero rows into
+    # a fresh file sink; the read-back must return an empty DataFrame with
+    # the contract schema, not fail parquet schema inference on an empty dir
+    from jsonschema_jl_spark.streaming import run_gated_dedup_intake
+
+    gate = {"type": "object", "properties": {"doc_id": {"minimum": 0}}}
+    src = str(tmp_path / "earr")
+    ckpt = str(tmp_path / "eckpt")
+    sink = str(tmp_path / "esink")
+
+    _write_docs(spark, src, [(-1, "hello"), (-2, "world")])
+    out = run_gated_dedup_intake(spark, src, DOC_DDL, gate, ckpt, sink)
+    assert out.columns == ["fp", "canonical_id", "n_dups"]
+    assert out.count() == 0
+
+    # the checkpoint stays usable: a later valid arrival emits normally
+    _write_docs(spark, src, [(5, "hello")])
+    out2 = run_gated_dedup_intake(spark, src, DOC_DDL, gate, ckpt, sink)
+    assert [(r.canonical_id, r.n_dups) for r in out2.collect()] == [(5, 1)]
+
+
 def test_streaming_dedup_rocksdb_state_store_parity(spark, tmp_path):
     # ship config pairs the dedup with the RocksDB state store (off-heap
     # state at 10^12-row scale); same results as the default HDFS-backed

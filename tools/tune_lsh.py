@@ -13,13 +13,14 @@ Usage: python tools/tune_lsh.py [n_rows]
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 from itertools import combinations
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jsonschema_jl_spark.config import DedupConfig
 from jsonschema_jl_spark.operators.minhash import minhash_batch, shingle_set_np
