@@ -3,8 +3,10 @@
 The dynamic gate's exact backend is a per-row dict-tree walk (json.loads +
 keyword dispatch) — correct but the slowest kernel per core in the engine.
 For common object schemas (type/required/properties with scalar keyword
-checks, array-of-scalar `items`/`minItems`/`maxItems`, and one-level nested
-`properties`), this module screens whole Arrow batches columnar-ly:
+checks, array-of-scalar `items`/`minItems`/`maxItems`, one-level nested
+`properties`, and a top-level `allOf` of such schemas — evaluated as a
+mask conjunction over ONE parse), this module screens whole Arrow batches
+columnar-ly:
 
   1. the batch's JSON texts are parsed ONCE by pyarrow.json.read_json
      (C++, simdjson-class throughput) into a columnar table;
@@ -450,12 +452,21 @@ def _object_masks(
     return bad, amb
 
 
-def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] | None:
+def screen_batch(
+    raws: pd.Series, plan: dict | list
+) -> tuple[np.ndarray, np.ndarray] | None:
     """(certainly_valid, certainly_invalid) boolean masks over the batch, or
     None when the whole batch must fall back to the dict walk.  The two
     masks are disjoint; rows in neither walk.  certainly_invalid carries no
     issue detail — consume it only where the verdict alone suffices
-    (gate_filter)."""
+    (gate_filter).
+
+    `plan` is a single property-plan dict, or a LIST of them — an allOf
+    conjunction (plan_screen_conj): the batch parses once, every member
+    plan evaluates over the same parsed table, and the masks combine as
+    valid = all members valid, invalid = any member definitively invalid —
+    exactly the walk's allOf semantics for the verdict (members validate
+    the same instance independently)."""
     import pyarrow as pa
     from pyarrow import json as pajson
 
@@ -500,6 +511,30 @@ def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] |
 
     ok = np.ones(idx.size, dtype=bool)
     inv = np.zeros(idx.size, dtype=bool)
+    for p in (plan if isinstance(plan, list) else [plan]):
+        res = _plan_masks(tbl, p, idx.size)
+        if res is None:
+            return None
+        ok &= res[0]
+        inv |= res[1]
+
+    out[idx] = ok
+    inv_out[idx] = inv
+    return out, inv_out
+
+
+def _plan_masks(
+    tbl, plan: dict, size: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(ok, inv) masks for ONE property-plan over the parsed batch table;
+    None when any planned column forces the whole batch to the walk.
+    Per-plan disjointness holds: every inv bit is paired with an ok clear
+    (bad clears ok; a required+null_invalid null clears ok via null_ok
+    being False by construction in plan_screen)."""
+    import pyarrow as pa
+
+    ok = np.ones(size, dtype=bool)
+    inv = np.zeros(size, dtype=bool)
     names = set(tbl.schema.names)
     for name, (sub, null_ok, required, null_invalid, extra) in plan.items():
         if name not in names:
@@ -553,6 +588,33 @@ def screen_batch(raws: pd.Series, plan: dict) -> tuple[np.ndarray, np.ndarray] |
             ok &= ~amb
         inv |= bad
 
-    out[idx] = ok
-    inv_out[idx] = inv
-    return out, inv_out
+    return ok, inv
+
+
+def plan_screen_conj(schema_data: Any) -> list[dict] | None:
+    """Compile the screening plan list for a schema whose top level is
+    either directly screenable (plan_screen) or a screenable base plus a
+    top-level `allOf` of screenable object schemas.  Returns a list of
+    property-plans for screen_batch's conjunction mode, or None when any
+    part is unscreenable (whole schema walks).  Sound because allOf members
+    validate the same instance independently: all-members-certainly-valid
+    (and base valid) == walk-valid; any-member-certainly-invalid ==
+    walk-invalid."""
+    if not isinstance(schema_data, dict):
+        return None
+    if "allOf" not in schema_data:
+        p = plan_screen(schema_data)
+        return None if p is None else [p]
+    if set(schema_data) - (_ALLOWED_TOP | {"allOf"}):
+        return None
+    members = schema_data["allOf"]
+    if not isinstance(members, list) or not members:
+        return None
+    base = {k: v for k, v in schema_data.items() if k != "allOf"}
+    plans: list[dict] = []
+    for part in [base, *members]:
+        p = plan_screen(part)
+        if p is None:
+            return None
+        plans.append(p)
+    return plans

@@ -185,9 +185,9 @@ def _make_gate_udf(
     accumulators (also closure-captured; accumulators pickle as ids and
     ship worker-side updates back with task results) count the
     screen/walk split per batch."""
-    from jsonschema_jl_spark.gate.columnar import plan_screen
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
 
-    plan = plan_screen(schema_data)
+    plan = plan_screen_conj(schema_data)
 
     @F.pandas_udf(ISSUE_TYPE)
     def gate_udf(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:

@@ -483,6 +483,79 @@ def test_screen_nested_crafted_verdicts():
     assert not valid[1] and not invalid[1]  # walks: fmt cell is null-or-absent
 
 
+ALLOF = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer"}},
+    "allOf": [
+        {"properties": {"k": {"minimum": 10}}},
+        {"properties": {"k": {"maximum": 90}, "name": {"type": "string"}},
+         "required": ["name"]},
+    ],
+}
+
+
+def test_plan_conj_eligibility():
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
+
+    plans = plan_screen_conj(Schema(ALLOF).data)
+    assert plans is not None and len(plans) == 3  # base + 2 members
+    # non-allOf schemas keep their single plan (wrapped)
+    assert len(plan_screen_conj(Schema(FLAT).data)) == 1
+    # unscreenable member (nested allOf) -> whole schema walks
+    assert plan_screen_conj({"allOf": [{"allOf": [{}]}]}) is None
+    # bool member -> walks; empty allOf -> walks; oneOf alongside -> walks
+    assert plan_screen_conj({"allOf": [True]}) is None
+    assert plan_screen_conj({"allOf": []}) is None
+    assert plan_screen_conj({"allOf": [{}], "oneOf": [{}]}) is None
+
+
+def test_screen_allof_crafted_verdicts():
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
+
+    data = Schema(ALLOF).data
+    plans = plan_screen_conj(data)
+    cases = [
+        ({"k": 50, "name": "ok"}, True),
+        ({"k": 5, "name": "ok"}, False),    # member-1 minimum
+        ({"k": 95, "name": "ok"}, False),   # member-2 maximum
+        ({"k": 50}, False),                  # member-2 required name
+        ({"k": 50, "name": 3}, False),      # member-2 name type
+        ({"name": "ok"}, False),            # base required k
+        ({"k": "x", "name": "ok"}, False),  # base k type
+    ]
+    for row, want in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 4, dtype=object), plans)
+        assert masks is not None, row
+        valid, invalid = masks
+        assert not (valid & invalid).any()
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+
+
+def test_screen_allof_differential():
+    """allOf conjunction screening must match the exact walk row-for-row
+    (full-detail mode: certainly-valid rows skip the walk) and verdict-wise
+    (verdict-only mode) over mixed random batches."""
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
+
+    data = Schema(ALLOF).data
+    plans = plan_screen_conj(data)
+    for seed in range(25):
+        rng = random.Random(7300 + seed)
+        s = pd.Series(_random_rows(rng, 80, adversarial=seed % 2 == 1), dtype=object)
+        fast = _gate_rows(s, data, plans)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+        fast_v = _gate_rows(s, data, plans, verdict_only=True)
+        pd.testing.assert_series_equal(
+            fast_v["reason"].isna(), slow["reason"].isna()
+        )
+
+
 def test_gate_metrics_accumulators(spark):
     """GateMetrics counts the screen/walk split across executors: on the
     bench events shape every row is screen-decided (valid or fast-reject),
