@@ -66,7 +66,14 @@ _ALLOWED_TOP = {"type", "required", "properties"}
 _ALLOWED_KW = {
     "type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "minLength", "maxLength", "pattern", "enum", "const",
+    # scalar-level combinators of screenable scalar members (recursive):
+    # every member keyword is screened, so ~bad over a PRESENT value is a
+    # DEFINITIVE pass — which makes each combinator's verdict definitive:
+    # allOf fails iff any member fails, anyOf iff all fail, oneOf iff the
+    # pass count != 1, `not` iff the member passes
+    "allOf", "anyOf", "oneOf", "not",
 }
+_COMBINATORS = ("allOf", "anyOf", "oneOf", "not")
 # array-of-scalar and one-level-nested-object property subschemas are also
 # screenable (round-4 extension): pyarrow parses them into list / struct
 # columns whose element/field checks reuse the scalar kernel
@@ -89,11 +96,24 @@ def _enum_of(sub: dict) -> list | None:
 
 def _null_invalid(sub: dict) -> bool:
     """Does an explicit JSON null definitively fail this subschema?  (null
-    fails any `type`, and a None-free enum/const.)"""
+    fails any `type` and a None-free enum/const; all other scalar keywords
+    apply only to matching primitive types, so null passes them.)  For a
+    SCREENABLE subschema this is definitive in both directions, which lets
+    combinators compute their null verdict statically from the members."""
     if sub.get("type") is not None:
         return True
     allowed = _enum_of(sub)
-    return allowed is not None and not any(e is None for e in allowed)
+    if allowed is not None and not any(e is None for e in allowed):
+        return True
+    if "allOf" in sub and any(_null_invalid(m) for m in sub["allOf"]):
+        return True
+    if "anyOf" in sub and all(_null_invalid(m) for m in sub["anyOf"]):
+        return True
+    if "oneOf" in sub and sum(not _null_invalid(m) for m in sub["oneOf"]) != 1:
+        return True
+    if "not" in sub and not _null_invalid(sub["not"]):
+        return True
+    return False
 
 
 def _plan_scalar(sub: dict) -> bool:
@@ -130,6 +150,16 @@ def _plan_scalar(sub: dict) -> bool:
             if isinstance(e, (int, float)) and not isinstance(e, bool) \
                     and not _is_exact_number(e):
                 return False
+    for kw in ("allOf", "anyOf", "oneOf"):
+        if kw in sub:
+            members = sub[kw]
+            if not isinstance(members, list) or not members:
+                return False
+            if not all(isinstance(m, dict) and _plan_scalar(m) for m in members):
+                return False
+    if "not" in sub:
+        if not isinstance(sub["not"], dict) or not _plan_scalar(sub["not"]):
+            return False
     return True
 
 
@@ -262,10 +292,20 @@ def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray
             # genuine JSON array/object value under a scalar subschema: any
             # scalar `type` and any all-scalar enum/const definitively fail;
             # range/length/pattern apply only to matching primitive types,
-            # so with neither the value passes every planned check
-            if sub.get("type") is not None or _enum_of(sub) is not None:
-                return present.copy()
-            return np.zeros(m, dtype=bool)
+            # so with neither the value passes every planned check —
+            # combinator members judge the same array/object value
+            # recursively through this same branch
+            base = (
+                present.copy()
+                if sub.get("type") is not None or _enum_of(sub) is not None
+                else np.zeros(m, dtype=bool)
+            )
+            if any(k in sub for k in _COMBINATORS):
+                cb = _combinator_bad(arr, sub, nullm, present)
+                if cb is None:
+                    return None
+                base |= cb
+            return base
         return None  # unexpected inference — walk
     bad = np.zeros(m, dtype=bool)
 
@@ -339,11 +379,61 @@ def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray
             strs = [e for e in allowed if isinstance(e, str)]
             bad |= ~_to_np(pc.is_in(arr, value_set=pa.array(strs, t)))
 
+    if any(k in sub for k in _COMBINATORS):
+        cb = _combinator_bad(arr, sub, nullm, present)
+        if cb is None:
+            return None
+        bad |= cb
+
     # every `bad` bit above is a DEFINITIVE keyword failure on a present
     # value (wrong-typed column, range/length/pattern/enum miss, float
-    # with a fractional part vs `type: integer`) — the same checks the
-    # exact walk runs, just vectorized
+    # with a fractional part vs `type: integer`, a combinator verdict
+    # combined from fully-screened members) — the same checks the exact
+    # walk runs, just vectorized
     return bad & present
+
+
+def _combinator_bad(
+    arr, sub: dict, nullm: np.ndarray, present: np.ndarray
+) -> np.ndarray | None:
+    """Definitive-failure bits (over present slots) contributed by the
+    scalar-level combinators in `sub`, or None -> batch fallback.  Sound
+    because every member is a fully-screened scalar subschema (_plan_scalar
+    admits only members whose EVERY keyword the kernel checks), so a
+    member's bad mask is definitive in BOTH directions over present values:
+    pass_m = present & ~bad_m.  Then allOf fails iff any member fails,
+    anyOf iff all fail, oneOf iff the pass count != 1, `not` iff the member
+    passes — exactly the walk's verdicts."""
+    m = len(present)
+    bad = np.zeros(m, dtype=bool)
+    if "allOf" in sub:
+        for msub in sub["allOf"]:
+            b = _scalar_masks(arr, msub, nullm=nullm)
+            if b is None:
+                return None
+            bad |= b
+    if "anyOf" in sub:
+        all_fail = present.copy()
+        for msub in sub["anyOf"]:
+            b = _scalar_masks(arr, msub, nullm=nullm)
+            if b is None:
+                return None
+            all_fail &= b
+        bad |= all_fail
+    if "oneOf" in sub:
+        cnt = np.zeros(m, dtype=np.int64)
+        for msub in sub["oneOf"]:
+            b = _scalar_masks(arr, msub, nullm=nullm)
+            if b is None:
+                return None
+            cnt += present & ~b
+        bad |= present & (cnt != 1)
+    if "not" in sub:
+        b = _scalar_masks(arr, sub["not"], nullm=nullm)
+        if b is None:
+            return None
+        bad |= present & ~b
+    return bad
 
 
 def _array_masks(

@@ -556,6 +556,94 @@ def test_screen_allof_differential():
         )
 
 
+ONEOF_PROP = {
+    "type": "object",
+    "required": ["value"],
+    "properties": {"value": {"oneOf": [{"maximum": 100}, {"minimum": 50}]}},
+}
+
+COMB_PROPS = {
+    "type": "object",
+    "properties": {
+        "a": {"anyOf": [{"type": "string", "maxLength": 2}, {"minimum": 10}]},
+        "b": {"allOf": [{"minimum": 0}, {"maximum": 5}]},
+        "c": {"not": {"enum": ["bad", 13]}},
+    },
+}
+
+
+def test_plan_scalar_combinators_eligible():
+    assert plan_screen(Schema(ONEOF_PROP).data) is not None
+    assert plan_screen(Schema(COMB_PROPS).data) is not None
+    # unscreenable member (object-typed properties) -> whole schema walks
+    assert plan_screen(
+        {"properties": {"v": {"oneOf": [{"properties": {"x": {}}}]}}}
+    ) is None
+    # empty member list is not a screenable shape
+    assert plan_screen({"properties": {"v": {"anyOf": []}}}) is None
+
+
+def test_screen_oneof_property_crafted_verdicts():
+    """The contract's gate_events_oneof shape: oneOf over numeric bounds.
+    Both members are fully screened, so every verdict is definitive —
+    including the 'both match' failure and the null two-member-pass case."""
+    data = Schema(ONEOF_PROP).data
+    plan = plan_screen(data)
+    assert plan is not None
+    cases = [
+        ({"value": 30}, True),     # only member 1 (<=100)
+        ({"value": 150}, True),    # only member 2 (>=50)
+        ({"value": 75}, False),    # BOTH match -> oneOf fails
+        ({"value": None}, False),  # null passes both members -> 2 matches
+        ({}, False),               # required value
+        ({"value": "x"}, False),   # string passes both vacuously -> 2
+    ]
+    for row, want in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+
+
+def test_screen_combinators_differential():
+    """anyOf/allOf/not property subschemas: screen output must equal the
+    exact walk row-for-row over homogeneous random batches."""
+    data = Schema(COMB_PROPS).data
+    plan = plan_screen(data)
+    assert plan is not None
+    pools = {
+        "int": [0, 3, 5, 9, 10, 50, 13],
+        "float": [2.5, -1.0, 99.9, 13.0],
+        "str": ["x", "ab", "bad", "longer"],
+        "null": [None],
+        "bool": [True, False],
+    }
+    for seed in range(30):
+        rng = random.Random(8800 + seed)
+        pool_of = {f: rng.choice(list(pools)) for f in ("a", "b", "c")}
+        rows = []
+        for _ in range(60):
+            obj = {}
+            for f in ("a", "b", "c"):
+                r = rng.randrange(10)
+                if r < 3:
+                    continue
+                obj[f] = None if r == 3 else rng.choice(pools[pool_of[f]])
+            rows.append(json.dumps(obj))
+        s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+        fast_v = _gate_rows(s, data, plan, verdict_only=True)
+        pd.testing.assert_series_equal(
+            fast_v["reason"].isna(), slow["reason"].isna()
+        )
+
+
 def test_gate_metrics_accumulators(spark):
     """GateMetrics counts the screen/walk split across executors: on the
     bench events shape every row is screen-decided (valid or fast-reject),
