@@ -70,10 +70,11 @@ _ALLOWED_KW = {
     # every member keyword is screened, so ~bad over a PRESENT value is a
     # DEFINITIVE pass — which makes each combinator's verdict definitive:
     # allOf fails iff any member fails, anyOf iff all fail, oneOf iff the
-    # pass count != 1, `not` iff the member passes
-    "allOf", "anyOf", "oneOf", "not",
+    # pass count != 1, `not` iff the member passes, if/then/else by the
+    # truth table over definitive if-verdicts
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
 }
-_COMBINATORS = ("allOf", "anyOf", "oneOf", "not")
+_COMBINATORS = ("allOf", "anyOf", "oneOf", "not", "if")
 # array-of-scalar and one-level-nested-object property subschemas are also
 # screenable (round-4 extension): pyarrow parses them into list / struct
 # columns whose element/field checks reuse the scalar kernel
@@ -113,6 +114,10 @@ def _null_invalid(sub: dict) -> bool:
         return True
     if "not" in sub and not _null_invalid(sub["not"]):
         return True
+    if "if" in sub:
+        branch = "then" if not _null_invalid(sub["if"]) else "else"
+        if branch in sub and _null_invalid(sub[branch]):
+            return True
     return False
 
 
@@ -159,6 +164,12 @@ def _plan_scalar(sub: dict) -> bool:
                 return False
     if "not" in sub:
         if not isinstance(sub["not"], dict) or not _plan_scalar(sub["not"]):
+            return False
+    for kw in ("if", "then", "else"):
+        # then/else without if are ignored by the walk; requiring them
+        # screenable anyway is merely conservative (extra fallbacks, never
+        # a wrong verdict)
+        if kw in sub and (not isinstance(sub[kw], dict) or not _plan_scalar(sub[kw])):
             return False
     return True
 
@@ -433,6 +444,22 @@ def _combinator_bad(
         if b is None:
             return None
         bad |= present & ~b
+    if "if" in sub:
+        b_if = _scalar_masks(arr, sub["if"], nullm=nullm)
+        if b_if is None:
+            return None
+        # b_if is present-masked and definitive both ways: pass_if and
+        # fail_if partition the present slots exactly as the walk does
+        if "then" in sub:
+            b_then = _scalar_masks(arr, sub["then"], nullm=nullm)
+            if b_then is None:
+                return None
+            bad |= (present & ~b_if) & b_then
+        if "else" in sub:
+            b_else = _scalar_masks(arr, sub["else"], nullm=nullm)
+            if b_else is None:
+                return None
+            bad |= b_if & b_else
     return bad
 
 
@@ -543,7 +570,7 @@ def _object_masks(
 
 
 def screen_batch(
-    raws: pd.Series, plan: dict | list
+    raws: pd.Series, plan: dict | list | tuple
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """(certainly_valid, certainly_invalid) boolean masks over the batch, or
     None when the whole batch must fall back to the dict walk.  The two
@@ -551,12 +578,16 @@ def screen_batch(
     issue detail — consume it only where the verdict alone suffices
     (gate_filter).
 
-    `plan` is a single property-plan dict, or a LIST of them — an allOf
+    `plan` is a single property-plan dict, a LIST of them — an allOf
     conjunction (plan_screen_conj): the batch parses once, every member
     plan evaluates over the same parsed table, and the masks combine as
     valid = all members valid, invalid = any member definitively invalid —
     exactly the walk's allOf semantics for the verdict (members validate
-    the same instance independently)."""
+    the same instance independently) — or an ("ite", conj, if, then, else)
+    tuple: valid = (if-valid ∧ then-valid) ∨ (if-INVALID ∧ else-valid),
+    invalid = (if-valid ∧ then-invalid) ∨ (if-INVALID ∧ else-invalid),
+    ANDed/ORed with the base conjunction; an ambiguous if-verdict leaves
+    both bits clear (the row walks)."""
     import pyarrow as pa
     from pyarrow import json as pajson
 
@@ -599,14 +630,39 @@ def screen_batch(
     if tbl.num_rows != idx.size:
         return None
 
+    if isinstance(plan, tuple) and plan and plan[0] == "ite":
+        _, conj, p_if, p_then, p_else = plan
+    else:
+        conj = plan if isinstance(plan, list) else [plan]
     ok = np.ones(idx.size, dtype=bool)
     inv = np.zeros(idx.size, dtype=bool)
-    for p in (plan if isinstance(plan, list) else [plan]):
+    for p in conj:
         res = _plan_masks(tbl, p, idx.size)
         if res is None:
             return None
         ok &= res[0]
         inv |= res[1]
+    if isinstance(plan, tuple) and plan and plan[0] == "ite":
+        rif = _plan_masks(tbl, p_if, idx.size)
+        if rif is None:
+            return None
+        ok_if, inv_if = rif
+        ones = np.ones(idx.size, dtype=bool)
+        zeros = np.zeros(idx.size, dtype=bool)
+        ok_then, inv_then = (ones, zeros)
+        ok_else, inv_else = (ones, zeros)
+        if p_then is not None:
+            r = _plan_masks(tbl, p_then, idx.size)
+            if r is None:
+                return None
+            ok_then, inv_then = r
+        if p_else is not None:
+            r = _plan_masks(tbl, p_else, idx.size)
+            if r is None:
+                return None
+            ok_else, inv_else = r
+        ok &= (ok_if & ok_then) | (inv_if & ok_else)
+        inv |= (ok_if & inv_then) | (inv_if & inv_else)
 
     out[idx] = ok
     inv_out[idx] = inv
@@ -681,30 +737,49 @@ def _plan_masks(
     return ok, inv
 
 
-def plan_screen_conj(schema_data: Any) -> list[dict] | None:
-    """Compile the screening plan list for a schema whose top level is
-    either directly screenable (plan_screen) or a screenable base plus a
-    top-level `allOf` of screenable object schemas.  Returns a list of
-    property-plans for screen_batch's conjunction mode, or None when any
-    part is unscreenable (whole schema walks).  Sound because allOf members
-    validate the same instance independently: all-members-certainly-valid
-    (and base valid) == walk-valid; any-member-certainly-invalid ==
-    walk-invalid."""
+def plan_screen_conj(schema_data: Any) -> list | tuple | None:
+    """Compile the top-level screening plan for a schema whose top level is
+    a screenable base (plan_screen), optionally plus a top-level `allOf` of
+    screenable object schemas (mask conjunction) and/or a top-level
+    `if`/`then`/`else` of screenable object schemas.  Returns a list of
+    property-plans (conjunction), or an ("ite", conj_list, if_plan,
+    then_plan|None, else_plan|None) tuple, or None when any part is
+    unscreenable (whole schema walks).
+
+    allOf soundness: members validate the same instance independently, so
+    all-members-certainly-valid (and base valid) == walk-valid and
+    any-member-certainly-invalid == walk-invalid.  if/then/else soundness
+    uses BOTH mask directions of the if-plan: certainly-valid-if selects
+    the then-branch, certainly-INVALID-if selects the else-branch, and an
+    ambiguous if-verdict walks (neither mask set)."""
     if not isinstance(schema_data, dict):
         return None
-    if "allOf" not in schema_data:
+    extra_top = {"allOf", "if", "then", "else"}
+    if not (set(schema_data) & extra_top):
         p = plan_screen(schema_data)
         return None if p is None else [p]
-    if set(schema_data) - (_ALLOWED_TOP | {"allOf"}):
+    if set(schema_data) - (_ALLOWED_TOP | extra_top):
         return None
-    members = schema_data["allOf"]
-    if not isinstance(members, list) or not members:
+    members = schema_data.get("allOf", [])
+    if "allOf" in schema_data and (not isinstance(members, list) or not members):
         return None
-    base = {k: v for k, v in schema_data.items() if k != "allOf"}
+    base = {k: v for k, v in schema_data.items() if k not in extra_top}
     plans: list[dict] = []
     for part in [base, *members]:
         p = plan_screen(part)
         if p is None:
             return None
         plans.append(p)
-    return plans
+    if "if" not in schema_data:
+        # then/else without if are ignored by the walk, and by us
+        return plans
+    ite: list = []
+    for kw in ("if", "then", "else"):
+        if kw not in schema_data:
+            ite.append(None)
+            continue
+        p = plan_screen(schema_data[kw])
+        if p is None:
+            return None
+        ite.append(p)
+    return ("ite", plans, ite[0], ite[1], ite[2])

@@ -644,6 +644,107 @@ def test_screen_combinators_differential():
         )
 
 
+ITE_TOP = {
+    "type": "object",
+    "required": ["event_type", "value"],
+    "if": {"properties": {"event_type": {"const": "error"}}},
+    "then": {"properties": {"value": {"maximum": 250}}},
+    "else": {"properties": {"value": {"maximum": 450}}},
+}
+
+ITE_SCALAR = {
+    "type": "object",
+    "properties": {
+        "v": {"if": {"type": "string"}, "then": {"minLength": 3},
+              "else": {"minimum": 10}},
+    },
+}
+
+
+def test_screen_ite_top_level_crafted_verdicts():
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
+
+    data = Schema(ITE_TOP).data
+    plan = plan_screen_conj(data)
+    assert isinstance(plan, tuple) and plan[0] == "ite"
+    cases = [
+        ({"event_type": "error", "value": 200}, True),
+        ({"event_type": "error", "value": 300}, False),   # then maximum
+        ({"event_type": "click", "value": 300}, True),
+        ({"event_type": "click", "value": 500}, False),   # else maximum
+        ({"value": 10}, False),                            # required event_type
+    ]
+    for row, want in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        assert not (valid & invalid).any()
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+    # ambiguous if-verdict: event_type null-or-absent in a mixed batch ->
+    # the if-plan can certify neither direction -> row walks
+    rows = [json.dumps({"event_type": "error", "value": 1}),
+            json.dumps({"value": 1})]
+    masks = screen_batch(pd.Series(rows, dtype=object), plan)
+    valid, invalid = masks
+    assert valid[0] and not invalid[0]
+    # null cell is absent-OR-null: absent fails base `required`, explicit
+    # null passes the (empty) base property subschema -> genuinely ambiguous
+    assert not valid[1] and not invalid[1]
+
+
+def test_screen_ite_top_differential():
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
+
+    data = Schema(ITE_TOP).data
+    plan = plan_screen_conj(data)
+    etypes = ["error", "click", "view", None]
+    for seed in range(25):
+        rng = random.Random(6400 + seed)
+        rows = []
+        for _ in range(60):
+            obj = {}
+            if rng.randrange(10) >= 1:
+                obj["event_type"] = rng.choice(etypes)
+            if rng.randrange(10) >= 1:
+                obj["value"] = rng.choice([100, 260, 440, 460, None])
+            rows.append(json.dumps(obj))
+        s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+        fast_v = _gate_rows(s, data, plan, verdict_only=True)
+        pd.testing.assert_series_equal(
+            fast_v["reason"].isna(), slow["reason"].isna()
+        )
+
+
+def test_screen_ite_scalar_differential():
+    """Scalar-level if/then/else: definitive if-verdicts partition present
+    values exactly; differential over homogeneous batches of every pool."""
+    data = Schema(ITE_SCALAR).data
+    plan = plan_screen(data)
+    assert plan is not None
+    pools = [[5, 15, 9, 10], [2.5, 50.0], ["ab", "abc", "x"], [True, False], [None]]
+    for seed in range(25):
+        rng = random.Random(3600 + seed)
+        pool = rng.choice(pools)
+        rows = []
+        for _ in range(50):
+            r = rng.randrange(10)
+            obj = {}
+            if r >= 2:
+                obj["v"] = None if r == 2 else rng.choice(pool)
+            rows.append(json.dumps(obj))
+        s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_gate_metrics_accumulators(spark):
     """GateMetrics counts the screen/walk split across executors: on the
     bench events shape every row is screen-decided (valid or fast-reject),
