@@ -63,9 +63,11 @@ import pandas as pd
 _MAX_EXACT = 2 ** 53  # float64 exact-integer range
 
 _ALLOWED_TOP = {"type", "required", "properties"}
+# multipleOf's isapprox tolerance, exactly the walk's (validator._multiple_of)
+_MULT_RTOL = 1.4901161193847656e-08  # sqrt(float64 eps)
 _ALLOWED_KW = {
     "type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
-    "minLength", "maxLength", "pattern", "enum", "const",
+    "minLength", "maxLength", "pattern", "enum", "const", "multipleOf",
     # scalar-level combinators of screenable scalar members (recursive):
     # every member keyword is screened, so ~bad over a PRESENT value is a
     # DEFINITIVE pass — which makes each combinator's verdict definitive:
@@ -135,6 +137,8 @@ def _plan_scalar(sub: dict) -> bool:
     for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
         if kw in sub and not _is_exact_number(sub[kw]):
             return False  # incl. draft-4 bool exclusive* forms
+    if "multipleOf" in sub and not _is_exact_number(sub["multipleOf"]):
+        return False  # bool / non-numeric divisor: the walk no-ops; walk it
     for kw in ("minLength", "maxLength"):
         if kw in sub and (isinstance(sub[kw], bool) or not isinstance(sub[kw], int)):
             return False
@@ -357,6 +361,19 @@ def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray
             bad |= _to_np(pc.less_equal(arrf, float(sub["exclusiveMinimum"])))
         if "exclusiveMaximum" in sub:
             bad |= _to_np(pc.greater_equal(arrf, float(sub["exclusiveMaximum"])))
+        if "multipleOf" in sub:
+            # the walk's isapprox(y, round(y)) bit-for-bit: within the
+            # ±2^53 gate int->float conversion is exact, so float division
+            # here equals the walk's Python division on the same values
+            xs = arrf.to_numpy(zero_copy_only=False)  # nulls -> NaN
+            with np.errstate(divide="ignore", invalid="ignore"):
+                y = xs / float(sub["multipleOf"])
+            r = np.round(y)
+            with np.errstate(invalid="ignore"):
+                mbad = ~np.isfinite(y) | (
+                    np.abs(y - r) > _MULT_RTOL * np.maximum(np.abs(y), np.abs(r))
+                )
+            bad |= mbad  # null slots masked off by the `& present` return
     if is_str:
         if "minLength" in sub:
             bad |= _to_np(pc.less(pc.utf8_length(arr), sub["minLength"]))

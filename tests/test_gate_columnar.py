@@ -745,6 +745,40 @@ def test_screen_ite_scalar_differential():
         pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_screen_multiple_of_parity():
+    """multipleOf screening must match the walk's isapprox semantics
+    bit-for-bit, including the classic 0.1-divisor float cases, zero
+    divisors, and integer multiples."""
+    schema = {"type": "object",
+              "properties": {"v": {"multipleOf": 0.1}, "n": {"multipleOf": 3},
+                             "z": {"multipleOf": 0}}}
+    data = Schema(schema).data
+    plan = plan_screen(data)
+    assert plan is not None
+    vals = [0.1, 0.2, 0.3, 0.25, 0.30000000000000004, 1.0, -0.7, 3.05]
+    ns = [0, 3, 6, 7, -9, 2]
+    zs = [0, 1, 2.5]
+    rows = []
+    for v in vals:
+        rows.append(json.dumps({"v": v}))
+    for n in ns:
+        rows.append(json.dumps({"n": n}))
+    for z in zs:
+        rows.append(json.dumps({"z": z}))
+    for batch in rows:  # homogeneous singleton batches
+        s = pd.Series([batch] * 3, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow, obj=batch)
+        masks = screen_batch(s, plan)
+        assert masks is not None
+        valid, invalid = masks
+        # every verdict must be DEFINITIVE (no walking) on these shapes
+        assert (valid | invalid).all(), batch
+    # bool divisor: walk no-ops multipleOf -> unscreenable, clean fallback
+    assert plan_screen({"properties": {"v": {"multipleOf": True}}}) is None
+
+
 def test_gate_metrics_accumulators(spark):
     """GateMetrics counts the screen/walk split across executors: on the
     bench events shape every row is screen-decided (valid or fast-reject),
@@ -830,6 +864,24 @@ def _h_subschema(draw):
         sub["enum"] = draw(st.lists(_H_SCALARS, min_size=1, max_size=4))
     if draw(st.booleans()):
         sub["const"] = draw(_H_SCALARS)
+    if draw(st.booleans()):
+        sub["multipleOf"] = draw(st.sampled_from([2, 3, 0.1, 0.25, 0, True]))
+    comb = draw(st.sampled_from([None, None, "allOf", "anyOf", "oneOf", "not", "ite"]))
+    member = st.sampled_from([
+        {"type": "integer"}, {"type": "string"}, {"minimum": 10},
+        {"maximum": 40}, {"minLength": 2}, {"enum": [1, "a", None]},
+        {"const": 5}, {},
+    ])
+    if comb == "not":
+        sub["not"] = draw(member)
+    elif comb == "ite":
+        sub["if"] = draw(member)
+        if draw(st.booleans()):
+            sub["then"] = draw(member)
+        if draw(st.booleans()):
+            sub["else"] = draw(member)
+    elif comb:
+        sub[comb] = draw(st.lists(member, min_size=1, max_size=3))
     if t == "array" and draw(st.booleans()):
         sub["items"] = {"type": draw(st.sampled_from(["integer", "string"]))}
         if draw(st.booleans()):
