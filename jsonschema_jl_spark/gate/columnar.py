@@ -83,6 +83,10 @@ _COMBINATORS = ("allOf", "anyOf", "oneOf", "not", "if")
 _ALLOWED_KW_ARRAY = {"type", "items", "minItems", "maxItems"}
 _ALLOWED_KW_OBJECT = {"type", "required", "properties"}
 _SCALAR_TYPES = {"integer", "number", "string", "boolean"}
+# members admissible in a `type` UNION list for the scalar kernel: the
+# value's JSON type is read off the parsed column type, so membership is
+# definitive for every present value and for nulls (_null_invalid)
+_UNION_TYPES = {"integer", "number", "string", "boolean", "null", "array", "object"}
 
 
 def _is_exact_number(v: Any) -> bool:
@@ -103,8 +107,11 @@ def _null_invalid(sub: dict) -> bool:
     apply only to matching primitive types, so null passes them.)  For a
     SCREENABLE subschema this is definitive in both directions, which lets
     combinators compute their null verdict statically from the members."""
-    if sub.get("type") is not None:
-        return True
+    t = sub.get("type")
+    if t is not None:
+        ts = [t] if isinstance(t, str) else t
+        if not (isinstance(ts, list) and "null" in ts):
+            return True
     allowed = _enum_of(sub)
     if allowed is not None and not any(e is None for e in allowed):
         return True
@@ -132,8 +139,15 @@ def _plan_scalar(sub: dict) -> bool:
         # which would certify rows valid that the walk fails on const
         return False
     t = sub.get("type")
-    if t is not None and (not isinstance(t, str) or t not in _SCALAR_TYPES):
-        return False  # union-type lists (legal) are walk territory
+    if t is not None:
+        if isinstance(t, str):
+            if t not in _SCALAR_TYPES and t != "null":
+                return False  # single "array"/"object" dispatch at the property level
+        elif isinstance(t, list):
+            if not t or not all(isinstance(x, str) and x in _UNION_TYPES for x in t):
+                return False
+        else:
+            return False  # non-string/list type validates nothing; walk it
     for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
         if kw in sub and not _is_exact_number(sub[kw]):
             return False  # incl. draft-4 bool exclusive* forms
@@ -304,15 +318,21 @@ def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray
             # be derived from the inferred column
             return None
         if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_struct(t):
-            # genuine JSON array/object value under a scalar subschema: any
-            # scalar `type` and any all-scalar enum/const definitively fail;
-            # range/length/pattern apply only to matching primitive types,
-            # so with neither the value passes every planned check —
-            # combinator members judge the same array/object value
-            # recursively through this same branch
+            # genuine JSON array/object value under a scalar subschema: a
+            # `type` not admitting array/object and any all-scalar
+            # enum/const definitively fail; range/length/pattern apply only
+            # to matching primitive types, so otherwise the value passes
+            # every planned check — combinator members judge the same
+            # array/object value recursively through this same branch
+            typ = sub.get("type")
+            type_fails = False
+            if typ is not None:
+                types = [typ] if isinstance(typ, str) else typ
+                want = "object" if pa.types.is_struct(t) else "array"
+                type_fails = want not in types
             base = (
                 present.copy()
-                if sub.get("type") is not None or _enum_of(sub) is not None
+                if type_fails or _enum_of(sub) is not None
                 else np.zeros(m, dtype=bool)
             )
             if any(k in sub for k in _COMBINATORS):
@@ -336,21 +356,23 @@ def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray
         arrf = pc.cast(arr, pa.float64())
 
     typ = sub.get("type")
-    if typ == "integer":
+    if typ is not None:
+        types = [typ] if isinstance(typ, str) else typ
         if is_num:
-            if pa.types.is_floating(t):
-                bad |= _to_np(pc.not_equal(arr, pc.floor(arr)))
-        else:
-            bad |= present
-    elif typ == "number":
-        if not is_num:
-            bad |= present
-    elif typ == "string":
-        if not is_str:
-            bad |= present
-    elif typ == "boolean":
-        if not is_bool:
-            bad |= present
+            if "number" in types:
+                pass
+            elif "integer" in types:
+                # float with integral value counts as integer (walk parity)
+                if pa.types.is_floating(t):
+                    bad |= _to_np(pc.not_equal(arr, pc.floor(arr)))
+            else:
+                bad |= present
+        elif is_str:
+            if "string" not in types:
+                bad |= present
+        elif is_bool:
+            if "boolean" not in types:
+                bad |= present
 
     if is_num:
         if "minimum" in sub:

@@ -231,18 +231,22 @@ def test_screen_enum_plus_const_walks():
     assert _issue_record({"x": 2}, data) is None
 
 
-def test_screen_union_type_walks_not_crashes():
-    """Legal union-type lists (`"type": ["string", "null"]`) are the walk's
-    job — plan_screen must return None, not raise TypeError (regression:
-    `t not in _SCALAR_TYPES` on an unhashable list)."""
+def test_screen_union_type_screens():
+    """Legal union-type lists (`"type": ["string", "null"]`) are now
+    screenable (membership read off the parsed column type); malformed
+    union lists (non-string members, unknown names, empty) still fall back
+    without crashing (regression: TypeError on an unhashable list)."""
     schema = {
         "type": "object",
         "properties": {"x": {"type": ["string", "null"]}},
     }
     data = Schema(schema).data
-    assert plan_screen(data) is None  # no crash, clean fallback
+    assert plan_screen(data) is not None
     assert _issue_record({"x": "a"}, data) is None
     assert _issue_record({"x": 3}, data) is not None
+    assert plan_screen({"properties": {"x": {"type": []}}}) is None
+    assert plan_screen({"properties": {"x": {"type": ["strange"]}}}) is None
+    assert plan_screen({"properties": {"x": {"type": [3]}}}) is None
 
 
 def test_screen_type_null_is_noop():
@@ -777,6 +781,77 @@ def test_screen_multiple_of_parity():
         assert (valid | invalid).all(), batch
     # bool divisor: walk no-ops multipleOf -> unscreenable, clean fallback
     assert plan_screen({"properties": {"v": {"multipleOf": True}}}) is None
+
+
+UNION = {
+    "type": "object",
+    "required": ["u"],
+    "properties": {
+        "u": {"type": ["string", "null"], "maxLength": 3},
+        "x": {"type": ["integer", "boolean"]},
+        "y": {"type": ["number", "array"]},
+        "z": {"type": "null"},
+    },
+}
+
+
+def test_screen_union_types_crafted_verdicts():
+    data = Schema(UNION).data
+    plan = plan_screen(data)
+    assert plan is not None, "union-type lists must now be plan-eligible"
+    cases = [
+        ({"u": "ab"}, True),
+        ({"u": "long"}, False),         # maxLength on the string member
+        ({"u": 5}, False),              # neither string nor null
+        ({"u": "a", "x": 3}, True),
+        ({"u": "a", "x": True}, True),  # boolean admitted
+        ({"u": "a", "x": 2.5}, False),  # non-integral float
+        ({"u": "a", "x": 2.0}, True),   # integral float counts as integer
+        ({"u": "a", "x": "s"}, False),
+        ({"u": "a", "y": [1, 2]}, True),   # array admitted by the union
+        ({"u": "a", "y": 1.5}, True),
+        ({"u": "a", "z": 7}, False),    # type: null rejects any present value
+    ]
+    for row, want in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+    # {"u": null} is walk-VALID (key present, null in the union) but the
+    # screen's null cell is absent-OR-null and u is required -> ambiguous
+    row = json.dumps({"u": None})
+    assert _issue_record(json.loads(row), data) is None
+    valid, invalid = screen_batch(pd.Series([row] * 3, dtype=object), plan)
+    assert not valid.any() and not invalid.any()
+
+
+def test_screen_union_types_differential():
+    data = Schema(UNION).data
+    plan = plan_screen(data)
+    pools = {
+        "str": ["a", "abc", "long1"], "int": [1, 2, 7], "float": [2.0, 2.5],
+        "bool": [True, False], "null": [None], "arr": [[1], []],
+    }
+    for seed in range(30):
+        rng = random.Random(4200 + seed)
+        pool_of = {f: rng.choice(list(pools)) for f in ("u", "x", "y", "z")}
+        rows = []
+        for _ in range(50):
+            obj = {}
+            for f in ("u", "x", "y", "z"):
+                r = rng.randrange(10)
+                if r < 3:
+                    continue
+                obj[f] = None if r == 3 else rng.choice(pools[pool_of[f]])
+            rows.append(json.dumps(obj))
+        s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
 
 
 def test_gate_metrics_accumulators(spark):
