@@ -622,11 +622,10 @@ def screen_batch(
     plan evaluates over the same parsed table, and the masks combine as
     valid = all members valid, invalid = any member definitively invalid —
     exactly the walk's allOf semantics for the verdict (members validate
-    the same instance independently) — or an ("ite", conj, if, then, else)
-    tuple: valid = (if-valid ∧ then-valid) ∨ (if-INVALID ∧ else-valid),
-    invalid = (if-valid ∧ then-invalid) ∨ (if-INVALID ∧ else-invalid),
-    ANDed/ORed with the base conjunction; an ambiguous if-verdict leaves
-    both bits clear (the row walks)."""
+    the same instance independently) — or a ("top", conj, ops) tuple whose
+    ops add anyOf/oneOf/not/if-then-else steps, each combined from BOTH
+    mask directions of its member plans (see plan_screen_conj's table);
+    any ambiguity leaves both bits clear (the row walks)."""
     import pyarrow as pa
     from pyarrow import json as pajson
 
@@ -669,10 +668,11 @@ def screen_batch(
     if tbl.num_rows != idx.size:
         return None
 
-    if isinstance(plan, tuple) and plan and plan[0] == "ite":
-        _, conj, p_if, p_then, p_else = plan
+    if isinstance(plan, tuple) and plan and plan[0] == "top":
+        _, conj, ops = plan
     else:
         conj = plan if isinstance(plan, list) else [plan]
+        ops = ()
     ok = np.ones(idx.size, dtype=bool)
     inv = np.zeros(idx.size, dtype=bool)
     for p in conj:
@@ -681,27 +681,53 @@ def screen_batch(
             return None
         ok &= res[0]
         inv |= res[1]
-    if isinstance(plan, tuple) and plan and plan[0] == "ite":
-        rif = _plan_masks(tbl, p_if, idx.size)
-        if rif is None:
-            return None
-        ok_if, inv_if = rif
-        ones = np.ones(idx.size, dtype=bool)
-        zeros = np.zeros(idx.size, dtype=bool)
-        ok_then, inv_then = (ones, zeros)
-        ok_else, inv_else = (ones, zeros)
-        if p_then is not None:
-            r = _plan_masks(tbl, p_then, idx.size)
+    for op in ops:
+        kind = op[0]
+        if kind in ("anyOf", "oneOf"):
+            pairs = []
+            for p in op[1]:
+                r = _plan_masks(tbl, p, idx.size)
+                if r is None:
+                    return None
+                pairs.append(r)
+            okm = np.stack([r[0] for r in pairs])
+            invm = np.stack([r[1] for r in pairs])
+            if kind == "anyOf":
+                ok &= okm.any(axis=0)
+                inv |= invm.all(axis=0)
+            else:
+                n_ok = okm.sum(axis=0)
+                n_inv = invm.sum(axis=0)
+                ok &= (n_ok == 1) & (n_inv == len(pairs) - 1)
+                inv |= (n_ok >= 2) | invm.all(axis=0)
+        elif kind == "not":
+            r = _plan_masks(tbl, op[1], idx.size)
             if r is None:
                 return None
-            ok_then, inv_then = r
-        if p_else is not None:
-            r = _plan_masks(tbl, p_else, idx.size)
-            if r is None:
+            ok &= r[1]
+            inv |= r[0]
+        else:  # ("ite", if, then, else)
+            _, p_if, p_then, p_else = op
+            rif = _plan_masks(tbl, p_if, idx.size)
+            if rif is None:
                 return None
-            ok_else, inv_else = r
-        ok &= (ok_if & ok_then) | (inv_if & ok_else)
-        inv |= (ok_if & inv_then) | (inv_if & inv_else)
+            ok_if, inv_if = rif
+            ones = np.ones(idx.size, dtype=bool)
+            zeros = np.zeros(idx.size, dtype=bool)
+            ok_then, inv_then = (ones, zeros)
+            ok_else, inv_else = (ones, zeros)
+            if p_then is not None:
+                r = _plan_masks(tbl, p_then, idx.size)
+                if r is None:
+                    return None
+                ok_then, inv_then = r
+            if p_else is not None:
+                r = _plan_masks(tbl, p_else, idx.size)
+                if r is None:
+                    return None
+                ok_else, inv_else = r
+            ok &= (ok_if & ok_then) | (inv_if & ok_else)
+            inv |= (ok_if & inv_then) | (inv_if & inv_else)
 
     out[idx] = ok
     inv_out[idx] = inv
@@ -778,22 +804,25 @@ def _plan_masks(
 
 def plan_screen_conj(schema_data: Any) -> list | tuple | None:
     """Compile the top-level screening plan for a schema whose top level is
-    a screenable base (plan_screen), optionally plus a top-level `allOf` of
-    screenable object schemas (mask conjunction) and/or a top-level
-    `if`/`then`/`else` of screenable object schemas.  Returns a list of
-    property-plans (conjunction), or an ("ite", conj_list, if_plan,
-    then_plan|None, else_plan|None) tuple, or None when any part is
-    unscreenable (whole schema walks).
+    a screenable base (plan_screen), optionally plus top-level combinators
+    of screenable object schemas: `allOf`, `anyOf`, `oneOf`, `not`, and
+    `if`/`then`/`else`.  Returns a list of property-plans (pure
+    conjunction), or a ("top", conj_list, ops) tuple where ops is a list of
+    (kind, payload) combinator steps, or None when any part is unscreenable
+    (whole schema walks).
 
-    allOf soundness: members validate the same instance independently, so
-    all-members-certainly-valid (and base valid) == walk-valid and
-    any-member-certainly-invalid == walk-invalid.  if/then/else soundness
-    uses BOTH mask directions of the if-plan: certainly-valid-if selects
-    the then-branch, certainly-INVALID-if selects the else-branch, and an
-    ambiguous if-verdict walks (neither mask set)."""
+    Soundness uses BOTH mask directions of each member plan (certainly
+    valid / certainly invalid, ambiguity walks):
+      allOf   valid=all ok,                    invalid=any inv (in conj)
+      anyOf   valid=any ok,                    invalid=all inv
+      oneOf   valid=exactly one ok AND the     invalid=ok count >= 2 OR
+              rest inv,                                all inv
+      not     valid=member inv,                invalid=member ok
+      ite     valid=(if ok ∧ then ok) ∨        invalid=(if ok ∧ then inv) ∨
+                    (if inv ∧ else ok),                (if inv ∧ else inv)"""
     if not isinstance(schema_data, dict):
         return None
-    extra_top = {"allOf", "if", "then", "else"}
+    extra_top = {"allOf", "anyOf", "oneOf", "not", "if", "then", "else"}
     if not (set(schema_data) & extra_top):
         p = plan_screen(schema_data)
         return None if p is None else [p]
@@ -809,16 +838,38 @@ def plan_screen_conj(schema_data: Any) -> list | tuple | None:
         if p is None:
             return None
         plans.append(p)
-    if "if" not in schema_data:
-        # then/else without if are ignored by the walk, and by us
-        return plans
-    ite: list = []
-    for kw in ("if", "then", "else"):
+
+    ops: list[tuple] = []
+    for kw in ("anyOf", "oneOf"):
         if kw not in schema_data:
-            ite.append(None)
             continue
-        p = plan_screen(schema_data[kw])
+        mem = schema_data[kw]
+        if not isinstance(mem, list) or not mem:
+            return None
+        mplans = []
+        for s in mem:
+            p = plan_screen(s)
+            if p is None:
+                return None
+            mplans.append(p)
+        ops.append((kw, mplans))
+    if "not" in schema_data:
+        p = plan_screen(schema_data["not"])
         if p is None:
             return None
-        ite.append(p)
-    return ("ite", plans, ite[0], ite[1], ite[2])
+        ops.append(("not", p))
+    if "if" in schema_data:
+        ite: list = []
+        for kw in ("if", "then", "else"):
+            if kw not in schema_data:
+                ite.append(None)
+                continue
+            p = plan_screen(schema_data[kw])
+            if p is None:
+                return None
+            ite.append(p)
+        ops.append(("ite", ite[0], ite[1], ite[2]))
+    # then/else without if are ignored by the walk, and by us
+    if not ops:
+        return plans
+    return ("top", plans, ops)

@@ -508,10 +508,12 @@ def test_plan_conj_eligibility():
     assert len(plan_screen_conj(Schema(FLAT).data)) == 1
     # unscreenable member (nested allOf) -> whole schema walks
     assert plan_screen_conj({"allOf": [{"allOf": [{}]}]}) is None
-    # bool member -> walks; empty allOf -> walks; oneOf alongside -> walks
+    # bool member -> walks; empty allOf -> walks; oneOf alongside now
+    # compiles into a ("top", conj, ops) plan
     assert plan_screen_conj({"allOf": [True]}) is None
     assert plan_screen_conj({"allOf": []}) is None
-    assert plan_screen_conj({"allOf": [{}], "oneOf": [{}]}) is None
+    top = plan_screen_conj({"allOf": [{}], "oneOf": [{}]})
+    assert isinstance(top, tuple) and top[0] == "top"
 
 
 def test_screen_allof_crafted_verdicts():
@@ -656,6 +658,82 @@ ITE_TOP = {
     "else": {"properties": {"value": {"maximum": 450}}},
 }
 
+TOP_COMB = {
+    "type": "object",
+    "properties": {"k": {"type": "integer"}},
+    "anyOf": [
+        {"required": ["k"], "properties": {"k": {"minimum": 10}}},
+        {"required": ["alt"], "properties": {"alt": {"type": "string"}}},
+    ],
+    "not": {"required": ["debug"]},
+}
+
+
+def test_screen_top_anyof_not_crafted_verdicts():
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
+
+    data = Schema(TOP_COMB).data
+    plan = plan_screen_conj(data)
+    assert isinstance(plan, tuple) and plan[0] == "top"
+    cases = [
+        ({"k": 20}, True),
+        ({"alt": "x"}, True),               # second anyOf member
+        ({"k": 20, "debug": 1}, False),     # not(required debug)
+        ({"k": "s"}, False),                # base type + both members fail
+    ]
+    for row, want in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        assert not (valid & invalid).any()
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+    # {"k": 5}: anyOf member 1 fails (minimum) but member 2's verdict is
+    # ambiguous only through required-absent... here alt's column is absent
+    # from a homogeneous {"k":5} batch -> member 2 definitively fails
+    # (required alt) -> anyOf certainly invalid
+    row = json.dumps({"k": 5})
+    assert _issue_record(json.loads(row), data) is not None
+    valid, invalid = screen_batch(pd.Series([row] * 3, dtype=object), plan)
+    assert invalid.all() and not valid.any()
+
+
+def test_screen_top_oneof_differential():
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
+
+    schema = {
+        "type": "object",
+        "oneOf": [
+            {"required": ["a"], "properties": {"a": {"minimum": 0}}},
+            {"required": ["b"], "properties": {"b": {"type": "string"}}},
+        ],
+    }
+    data = Schema(schema).data
+    plan = plan_screen_conj(data)
+    assert isinstance(plan, tuple) and plan[0] == "top"
+    for seed in range(25):
+        rng = random.Random(5100 + seed)
+        rows = []
+        for _ in range(50):
+            obj = {}
+            if rng.randrange(3):
+                obj["a"] = rng.choice([-5, 0, 7, None])
+            if rng.randrange(3):
+                obj["b"] = rng.choice(["x", "y", None])
+            rows.append(json.dumps(obj))
+        s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+        fast_v = _gate_rows(s, data, plan, verdict_only=True)
+        pd.testing.assert_series_equal(
+            fast_v["reason"].isna(), slow["reason"].isna()
+        )
+
+
 ITE_SCALAR = {
     "type": "object",
     "properties": {
@@ -670,7 +748,7 @@ def test_screen_ite_top_level_crafted_verdicts():
 
     data = Schema(ITE_TOP).data
     plan = plan_screen_conj(data)
-    assert isinstance(plan, tuple) and plan[0] == "ite"
+    assert isinstance(plan, tuple) and plan[0] == "top"
     cases = [
         ({"event_type": "error", "value": 200}, True),
         ({"event_type": "error", "value": 300}, False),   # then maximum
