@@ -2,10 +2,12 @@
 
 The dynamic gate's exact backend is a per-row dict-tree walk (json.loads +
 keyword dispatch) — correct but the slowest kernel per core in the engine.
-For common object schemas (type/required/properties with scalar keyword
-checks, array-of-scalar `items`/`minItems`/`maxItems`, one-level nested
-`properties`, and a top-level `allOf` of such schemas — evaluated as a
-mask conjunction over ONE parse), this module screens whole Arrow batches
+For common object schemas — type/required/properties with scalar keyword
+checks (incl. multipleOf, union type lists, and scalar-level
+allOf/anyOf/oneOf/not/if-then-else), array-of-scalar
+`items`/`minItems`/`maxItems`, one-level nested `properties`, and
+top-level allOf/anyOf/oneOf/not/if-then-else of such schemas, all
+evaluated over ONE parse — this module screens whole Arrow batches
 columnar-ly:
 
   1. the batch's JSON texts are parsed ONCE by pyarrow.json.read_json
