@@ -255,6 +255,45 @@ def q_gate_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "isvalid")
 
 
+# One schema exercising every round-4 columnar-screen extension at once —
+# union type lists, multipleOf, scalar-level oneOf, top-level anyOf and
+# not — in dynamic mode (gate/columnar.py); the JSON is constructed from
+# integer fields so DuckDB mirrors the keyword semantics exactly.
+_COMBO_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {
+        "k": {
+            "type": ["integer", "null"],
+            "multipleOf": 2,
+            "oneOf": [{"maximum": 60}, {"minimum": 30}],
+        },
+        "tag": {"type": "string", "minLength": 5},
+    },
+    "anyOf": [
+        {"required": ["tag"]},
+        {"properties": {"k": {"minimum": 10}}},
+    ],
+    "not": {"properties": {"k": {"const": 44}}},
+}
+
+
+def q_gate_screened_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    obj = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit('{"k": '), k.cast("string"), F.lit("}")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"k": '), k.cast("string"),
+            F.lit(', "tag": "'), F.col("event_type"), F.lit('"}'),
+        )
+    )
+    ev = _events(spark, sf_dir).withColumn("obj_json", obj)
+    out = apply_gate(ev, _COMBO_SCHEMA, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
 def q_gate_property_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn(
         "obj_json", F.concat(F.lit('{"'), F.col("event_type"), F.lit('": 1}'))
@@ -840,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_array_contains": q_gate_array_contains,
         "gate_dependencies": q_gate_dependencies,
         "gate_property_names": q_gate_property_names,
+        "gate_screened_combo": q_gate_screened_combo,
         "gate_numeric_bounds": q_gate_numeric_bounds,
         "gate_exclusive_draft4": q_gate_exclusive_draft4,
         "gate_combinators": q_gate_combinators,
@@ -1164,6 +1204,21 @@ def _oracle_sql_dict() -> dict[str, str]:
           SELECT event_id,
                  (length(event_type) >= 5 AND NOT starts_with(event_type, 'e')) AS isvalid
           FROM events
+        """,
+        "gate_screened_combo": """
+          WITH a AS (SELECT event_id,
+                            CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                            event_type AS tag
+                     FROM events)
+          SELECT event_id,
+                 (k IS NOT NULL
+                  AND k % 2 = 0
+                  AND ((k <= 60) != (k >= 30))
+                  AND k != 44
+                  AND (CASE WHEN event_id % 2 = 0
+                            THEN k >= 10 ELSE length(tag) >= 5 END)
+                 ) AS isvalid
+          FROM a
         """,
         # multipleOf tolerance mirrors the reference's isapprox(y, round(y))
         # with rel_tol = sqrt(eps) (src/validation.jl:530-533)
