@@ -82,7 +82,9 @@ _COMBINATORS = ("allOf", "anyOf", "oneOf", "not", "if")
 # array-of-scalar and one-level-nested-object property subschemas are also
 # screenable (round-4 extension): pyarrow parses them into list / struct
 # columns whose element/field checks reuse the scalar kernel
-_ALLOWED_KW_ARRAY = {"type", "items", "minItems", "maxItems"}
+_ALLOWED_KW_ARRAY = {
+    "type", "items", "minItems", "maxItems", "contains", "uniqueItems",
+}
 _ALLOWED_KW_OBJECT = {"type", "required", "properties"}
 _SCALAR_TYPES = {"integer", "number", "string", "boolean"}
 # members admissible in a `type` UNION list for the scalar kernel: the
@@ -244,6 +246,13 @@ def plan_screen(schema_data: Any) -> dict | None:
                 # bool items / additionalItems are walk territory
                 if not isinstance(items, dict) or not _plan_scalar(items):
                     return None
+            cont = sub.get("contains")
+            if cont is not None and (
+                not isinstance(cont, dict) or not _plan_scalar(cont)
+            ):
+                return None
+            if "uniqueItems" in sub and not isinstance(sub["uniqueItems"], bool):
+                return None
             extra = ("array", items)
         elif t == "object":
             if set(sub) - _ALLOWED_KW_OBJECT:
@@ -535,7 +544,10 @@ def _array_masks(
     if "maxItems" in sub:
         bad |= present & (counts > sub["maxItems"])
     items = sub.get("items")
-    if isinstance(items, dict) and items:
+    cont = sub.get("contains")
+    uniq = sub.get("uniqueItems") is True
+    run_items = isinstance(items, dict) and bool(items)
+    if run_items or isinstance(cont, dict) or uniq:
         vals = pc.list_flatten(arr)  # skips null slots, matching fill_null(0)
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
@@ -544,6 +556,8 @@ def _array_masks(
             # element layout (they do on pyarrow 16; a future change walks)
             return None
         vals_null = vals.is_null().to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(m, dtype=np.int64), counts)
+    if run_items:
         ebad = _scalar_masks(vals, items, nullm=vals_null)
         if ebad is None:
             return None
@@ -554,9 +568,48 @@ def _array_masks(
         if _null_invalid(items):
             ebad = ebad | vals_null
         if len(vals):
-            rows = np.repeat(np.arange(m, dtype=np.int64), counts)
             hits = np.bincount(rows[ebad], minlength=m) > 0
             bad |= hits & present
+    if isinstance(cont, dict):
+        # contains fails iff NO element validates the member — definitive
+        # both ways because the member is fully screened (null elements'
+        # verdict is _null_invalid, static)
+        cbad = _scalar_masks(vals, cont, nullm=vals_null)
+        if cbad is None:
+            return None
+        e_pass = ~cbad & ~vals_null
+        if not _null_invalid(cont):
+            e_pass |= vals_null
+        hits = (
+            np.bincount(rows[e_pass], minlength=m) > 0
+            if len(vals) else np.zeros(m, dtype=bool)
+        )
+        bad |= present & ~hits
+    if uniq and len(vals):
+        et = vals.type
+        # primitive elements only: nested lists/dicts are unhashable for
+        # the dup scan, and timestamp-inferred elements would equate
+        # distinct source strings; ints beyond 2^53 would collide after
+        # the pandas float upcast of a nullable int column
+        if not (
+            pa.types.is_floating(et) or pa.types.is_string(et)
+            or pa.types.is_large_string(et) or pa.types.is_boolean(et)
+            or pa.types.is_null(et) or pa.types.is_integer(et)
+        ):
+            return None
+        if pa.types.is_integer(et):
+            mm = pc.min_max(vals).as_py()
+            if mm["min"] is not None and (
+                abs(mm["min"]) > _MAX_EXACT or abs(mm["max"]) > _MAX_EXACT
+            ):
+                return None
+        # per-row duplicate scan; pandas equality matches the walk's
+        # json_equal on a single-typed column (2 == 2.0, null == null;
+        # bool-vs-number mixes can't share one parsed column)
+        dup = pd.DataFrame(
+            {"r": rows, "v": vals.to_pandas().to_numpy()}
+        ).duplicated().to_numpy()
+        bad |= (np.bincount(rows[dup], minlength=m) > 0) & present
     return bad, zeros
 
 

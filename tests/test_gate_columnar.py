@@ -932,6 +932,86 @@ def test_screen_union_types_differential():
         pd.testing.assert_frame_equal(fast, slow)
 
 
+ARR_EXT = {
+    "type": "object",
+    "properties": {
+        "a": {"type": "array", "contains": {"minimum": 95}},
+        "b": {"type": "array", "uniqueItems": True},
+        "c": {"type": "array", "items": {"type": "integer"},
+              "contains": {"maximum": 0}, "uniqueItems": True},
+    },
+}
+
+
+def test_screen_array_contains_unique_crafted_verdicts():
+    data = Schema(ARR_EXT).data
+    plan = plan_screen(data)
+    assert plan is not None
+    cases = [
+        ({"a": [1, 99]}, True),          # one element >= 95
+        ({"a": [1, 2]}, False),          # none
+        ({"a": []}, False),              # empty: contains fails
+        ({"a": ["x"]}, True),            # minimum applies only to numbers:
+                                         # "x" VALIDATES the member vacuously
+        ({"b": [1, 2, 3]}, True),
+        ({"b": [1, 2, 1]}, False),       # dup
+        ({"b": [1.0, 1]}, False),        # 1.0 == 1 (walk json_equal)
+        ({"b": ["x", "y", "x"]}, False),
+        ({"b": []}, True),
+        ({"c": [-1, 0, 3]}, True),
+        ({"c": [1, 2]}, False),          # contains maximum 0
+        ({"c": [-1, -1]}, False),        # dup
+        ({"c": [-1, 2.5]}, False),       # items integer
+    ]
+    for row, want in cases:
+        walk = _issue_record(row, data) is None
+        assert walk == want, (row, walk)
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        assert not (valid & invalid).any()
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+    # [null, null] parses to pyarrow's structurally-broken list<null>; the
+    # existing guard falls the batch back to the walk (which rejects the
+    # dup nulls) instead of trusting the column
+    row = {"b": [None, None]}
+    assert _issue_record(row, data) is not None
+    assert screen_batch(
+        pd.Series([json.dumps(row)] * 3, dtype=object), plan
+    ) is None
+
+
+def test_screen_array_contains_unique_differential():
+    data = Schema(ARR_EXT).data
+    plan = plan_screen(data)
+    pools = {
+        "ints": [[1, 99], [1, 2, 1], [], [95], [0, -1], [3, 3, 99]],
+        "floats": [[1.5, 99.5], [1.0, 1], [2.5]],
+        "strs": [["x", "y"], ["x", "x"], []],
+        "null": [None],
+        "mixednull": [[None, 1], [None, None]],
+    }
+    for seed in range(30):
+        rng = random.Random(2700 + seed)
+        pool_of = {f: rng.choice(list(pools)) for f in ("a", "b", "c")}
+        rows = []
+        for _ in range(50):
+            obj = {}
+            for f in ("a", "b", "c"):
+                r = rng.randrange(10)
+                if r < 3:
+                    continue
+                obj[f] = None if r == 3 else rng.choice(pool_of[f] and pools[pool_of[f]])
+            rows.append(json.dumps(obj))
+        s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_gate_metrics_accumulators(spark):
     """GateMetrics counts the screen/walk split across executors: on the
     bench events shape every row is screen-decided (valid or fast-reject),
