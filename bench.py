@@ -979,10 +979,15 @@ def main() -> None:
                         if not line.startswith("{"):
                             continue
                         try:
-                            rec = json.loads(line)
-                            break
+                            cand = json.loads(line)
                         except json.JSONDecodeError:
                             continue
+                        # must be the worker RECORD, not JSON-shaped chatter
+                        # (structured-log lines after the record would
+                        # otherwise KeyError downstream on rec["seconds"])
+                        if isinstance(cand, dict) and "seconds" in cand:
+                            rec = cand
+                            break
                     if rec is not None:
                         break
                 reason = (

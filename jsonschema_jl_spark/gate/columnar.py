@@ -300,15 +300,20 @@ def _to_np(arrow_bool) -> np.ndarray:
     return arrow_bool.fill_null(False).to_numpy(zero_copy_only=False)
 
 
-def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray | None:
+def _scalar_masks(
+    arr, sub: dict, nullm: np.ndarray | None = None, arrf=None
+) -> np.ndarray | None:
     """Definitive-failure mask over `arr`'s values under scalar subschema
     `sub`.  Bits are set only for PRESENT (non-null) values — null slots are
     judged by the caller, which knows whether null means absent-or-null (a
     column cell) or a genuine JSON null (a list element).  Returns None when
     the whole batch must fall back (numbers beyond the float64-exact range,
     timestamp-inferred strings).  `nullm` lets a caller that already
-    materialized arr's null bitmap share it (one full-column pass saved per
-    property per batch on the dynamic gate's hot path)."""
+    materialized arr's null bitmap share it, and `arrf` an already-gated
+    float64 cast of a numeric arr (the ±2^53 magnitude gate must have run),
+    so combinator members don't re-scan the column per member — one
+    full-column pass saved per property (and per member) per batch on the
+    dynamic gate's hot path."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -355,8 +360,7 @@ def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray
         return None  # unexpected inference — walk
     bad = np.zeros(m, dtype=bool)
 
-    arrf = None
-    if is_num:
+    if is_num and arrf is None:
         # exact-integer range gate: ints beyond 2^53 (or doubles pyarrow
         # silently demoted huge JSON ints into) can't be compared exactly
         mm = pc.min_max(arr).as_py()
@@ -441,7 +445,7 @@ def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray
             bad |= ~_to_np(pc.is_in(arr, value_set=pa.array(strs, t)))
 
     if any(k in sub for k in _COMBINATORS):
-        cb = _combinator_bad(arr, sub, nullm, present)
+        cb = _combinator_bad(arr, sub, nullm, present, arrf=arrf)
         if cb is None:
             return None
         bad |= cb
@@ -455,7 +459,7 @@ def _scalar_masks(arr, sub: dict, nullm: np.ndarray | None = None) -> np.ndarray
 
 
 def _combinator_bad(
-    arr, sub: dict, nullm: np.ndarray, present: np.ndarray
+    arr, sub: dict, nullm: np.ndarray, present: np.ndarray, arrf=None
 ) -> np.ndarray | None:
     """Definitive-failure bits (over present slots) contributed by the
     scalar-level combinators in `sub`, or None -> batch fallback.  Sound
@@ -469,14 +473,14 @@ def _combinator_bad(
     bad = np.zeros(m, dtype=bool)
     if "allOf" in sub:
         for msub in sub["allOf"]:
-            b = _scalar_masks(arr, msub, nullm=nullm)
+            b = _scalar_masks(arr, msub, nullm=nullm, arrf=arrf)
             if b is None:
                 return None
             bad |= b
     if "anyOf" in sub:
         all_fail = present.copy()
         for msub in sub["anyOf"]:
-            b = _scalar_masks(arr, msub, nullm=nullm)
+            b = _scalar_masks(arr, msub, nullm=nullm, arrf=arrf)
             if b is None:
                 return None
             all_fail &= b
@@ -484,29 +488,29 @@ def _combinator_bad(
     if "oneOf" in sub:
         cnt = np.zeros(m, dtype=np.int64)
         for msub in sub["oneOf"]:
-            b = _scalar_masks(arr, msub, nullm=nullm)
+            b = _scalar_masks(arr, msub, nullm=nullm, arrf=arrf)
             if b is None:
                 return None
             cnt += present & ~b
         bad |= present & (cnt != 1)
     if "not" in sub:
-        b = _scalar_masks(arr, sub["not"], nullm=nullm)
+        b = _scalar_masks(arr, sub["not"], nullm=nullm, arrf=arrf)
         if b is None:
             return None
         bad |= present & ~b
     if "if" in sub:
-        b_if = _scalar_masks(arr, sub["if"], nullm=nullm)
+        b_if = _scalar_masks(arr, sub["if"], nullm=nullm, arrf=arrf)
         if b_if is None:
             return None
         # b_if is present-masked and definitive both ways: pass_if and
         # fail_if partition the present slots exactly as the walk does
         if "then" in sub:
-            b_then = _scalar_masks(arr, sub["then"], nullm=nullm)
+            b_then = _scalar_masks(arr, sub["then"], nullm=nullm, arrf=arrf)
             if b_then is None:
                 return None
             bad |= (present & ~b_if) & b_then
         if "else" in sub:
-            b_else = _scalar_masks(arr, sub["else"], nullm=nullm)
+            b_else = _scalar_masks(arr, sub["else"], nullm=nullm, arrf=arrf)
             if b_else is None:
                 return None
             bad |= b_if & b_else

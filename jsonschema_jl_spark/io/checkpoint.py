@@ -8,8 +8,8 @@ table partitioned by `part_bucket`, with the manifest's role played by
 Iceberg snapshot metadata).
 
 Layout:
-    <root>/<config_hash>/<stage>/part_bucket=N/*.parquet
-    <root>/<config_hash>/<stage>/_manifest.json
+    <root>/<config_hash>_L<layout_version>/<stage>/part_bucket=N/*.parquet
+    <root>/<config_hash>_L<layout_version>/<stage>/_manifest.json
 
 Manifest records lineage (input descriptor, config hash, engine version),
 per-bucket row counts, and completion flags.  Resume = recompute only the
