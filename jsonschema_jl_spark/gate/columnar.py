@@ -200,6 +200,83 @@ def _count_int(v: Any) -> bool:
     return isinstance(v, int) and not isinstance(v, bool)
 
 
+# sentinel distinguishing "not screenable" from legitimate None specs
+_INELIGIBLE = object()
+
+
+def _plan_array_spec(sub: dict, deep: bool):
+    """Validate an array-shaped subschema and return its items spec:
+    None (no per-element checks), a scalar subschema dict, or
+    ("object", nested_fields) for arrays of one-level objects (only when
+    `deep` — nesting is capped at one structured level either way round).
+    _INELIGIBLE -> the property walks."""
+    if set(sub) - _ALLOWED_KW_ARRAY:
+        return _INELIGIBLE
+    for kw in ("minItems", "maxItems"):
+        if kw in sub and not _count_int(sub[kw]):
+            return _INELIGIBLE
+    cont = sub.get("contains")
+    if cont is not None and (not isinstance(cont, dict) or not _plan_scalar(cont)):
+        return _INELIGIBLE
+    if "uniqueItems" in sub and not isinstance(sub["uniqueItems"], bool):
+        return _INELIGIBLE
+    items = sub.get("items")
+    if items is None:
+        return None
+    if not isinstance(items, dict):
+        # tuple items / bool items / additionalItems are walk territory
+        return _INELIGIBLE
+    if _plan_scalar(items):
+        return items if items else None
+    if deep and items.get("type") == "object":
+        nested = _plan_object_fields(items, deep=False)
+        if nested is not _INELIGIBLE:
+            return ("object", nested)
+    return _INELIGIBLE
+
+
+def _plan_object_fields(sub: dict, deep: bool):
+    """Validate an object-shaped subschema and return its nested field plan:
+    field name -> (fsub, null_ok, required, null_invalid, f_extra) with the
+    same flag semantics as the top-level plan; f_extra is None for scalar
+    fields or ("array", items_spec) for array-of-scalar fields (only when
+    `deep`).  _INELIGIBLE -> the property walks."""
+    if set(sub) - _ALLOWED_KW_OBJECT:
+        return _INELIGIBLE
+    nreq = sub.get("required", [])
+    if not isinstance(nreq, list) or not all(isinstance(r, str) for r in nreq):
+        return _INELIGIBLE
+    nprops = sub.get("properties", {})
+    if not isinstance(nprops, dict):
+        return _INELIGIBLE
+    nested: dict[str, tuple] = {}
+    nreq_set = set(nreq)
+    for fname, fsub in nprops.items():
+        if not isinstance(fsub, dict):
+            return _INELIGIBLE
+        f_extra = None
+        if deep and fsub.get("type") == "array":
+            spec = _plan_array_spec(fsub, deep=False)
+            if spec is _INELIGIBLE:
+                return _INELIGIBLE
+            f_extra = ("array", spec)
+            f_ninv = True  # null fails `type: array`
+        elif _plan_scalar(fsub):
+            f_ninv = _null_invalid(fsub)
+        else:
+            return _INELIGIBLE
+        nested[fname] = (
+            fsub, fname not in nreq_set and not f_ninv,
+            fname in nreq_set, f_ninv, f_extra,
+        )
+    for rname in nreq:
+        if rname not in nested:
+            # required nested field w/o property: absent -> invalid,
+            # null -> valid; a null cell is ambiguous -> row walks
+            nested[rname] = ({}, False, True, False, None)
+    return nested
+
+
 def plan_screen(schema_data: Any) -> dict | None:
     """Compile a screening plan, or None when the schema is not screenable.
 
@@ -211,9 +288,11 @@ def plan_screen(schema_data: Any) -> dict | None:
     explicit-null verdict's (null fails a `type` or a None-free
     enum/const), so `required and null_invalid` symmetrically means
     "null-or-absent is certainly INVALID".  `extra` is None for scalar
-    properties, ("array", items_sub_or_None) for array-of-scalar
-    properties, or ("object", nested_plan) for one-level nested objects —
-    the nested plan reuses the same 4 flag semantics per field."""
+    properties, ("array", items_spec) for array properties (items_spec from
+    _plan_array_spec: None / scalar dict / ("object", nested) for arrays of
+    one-level objects), or ("object", nested_plan) for one-level nested
+    objects — the nested plan reuses the same flag semantics per field,
+    plus an f_extra slot for array-of-scalar fields."""
     if not isinstance(schema_data, dict):
         return None
     if set(schema_data) - _ALLOWED_TOP:
@@ -235,49 +314,14 @@ def plan_screen(schema_data: Any) -> dict | None:
         t = sub.get("type")
         extra = None
         if t == "array":
-            if set(sub) - _ALLOWED_KW_ARRAY:
+            spec = _plan_array_spec(sub, deep=True)
+            if spec is _INELIGIBLE:
                 return None
-            for kw in ("minItems", "maxItems"):
-                if kw in sub and not _count_int(sub[kw]):
-                    return None
-            items = sub.get("items")
-            if items is not None:
-                # single-schema items of scalar shape only; tuple items /
-                # bool items / additionalItems are walk territory
-                if not isinstance(items, dict) or not _plan_scalar(items):
-                    return None
-            cont = sub.get("contains")
-            if cont is not None and (
-                not isinstance(cont, dict) or not _plan_scalar(cont)
-            ):
-                return None
-            if "uniqueItems" in sub and not isinstance(sub["uniqueItems"], bool):
-                return None
-            extra = ("array", items)
+            extra = ("array", spec)
         elif t == "object":
-            if set(sub) - _ALLOWED_KW_OBJECT:
+            nested = _plan_object_fields(sub, deep=True)
+            if nested is _INELIGIBLE:
                 return None
-            nreq = sub.get("required", [])
-            if not isinstance(nreq, list) or not all(isinstance(r, str) for r in nreq):
-                return None
-            nprops = sub.get("properties", {})
-            if not isinstance(nprops, dict):
-                return None
-            nested: dict[str, tuple] = {}
-            nreq_set = set(nreq)
-            for fname, fsub in nprops.items():
-                if not isinstance(fsub, dict) or not _plan_scalar(fsub):
-                    return None
-                f_ninv = _null_invalid(fsub)
-                nested[fname] = (
-                    fsub, fname not in nreq_set and not f_ninv,
-                    fname in nreq_set, f_ninv,
-                )
-            for rname in nreq:
-                if rname not in nested:
-                    # required nested field w/o property: absent -> invalid,
-                    # null -> valid; a null cell is ambiguous -> row walks
-                    nested[rname] = ({}, False, True, False)
             extra = ("object", nested)
         else:
             if not _plan_scalar(sub):
@@ -518,10 +562,14 @@ def _combinator_bad(
 
 
 def _array_masks(
-    arr, sub: dict, nullm: np.ndarray | None = None
+    arr, sub: dict, nullm: np.ndarray | None = None, items_spec=None
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """(bad, ambiguous) over an array-typed property's column; bits only on
-    present slots.  None -> batch fallback.  `nullm`: see _scalar_masks."""
+    present slots.  None -> batch fallback.  `nullm`: see _scalar_masks.
+    `items_spec` is the PLANNED element spec (from _plan_array_spec): None,
+    a scalar subschema, or ("object", nested_fields) for arrays of
+    one-level objects — the planner's verdict is authoritative so the mask
+    code never re-derives eligibility from `sub`."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -540,6 +588,7 @@ def _array_masks(
         # definitive `type` failure
         return present.copy(), zeros
     bad = np.zeros(m, dtype=bool)
+    amb = np.zeros(m, dtype=bool)
     counts = pc.list_value_length(arr).fill_null(0).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
@@ -547,11 +596,9 @@ def _array_masks(
         bad |= present & (counts < sub["minItems"])
     if "maxItems" in sub:
         bad |= present & (counts > sub["maxItems"])
-    items = sub.get("items")
     cont = sub.get("contains")
     uniq = sub.get("uniqueItems") is True
-    run_items = isinstance(items, dict) and bool(items)
-    if run_items or isinstance(cont, dict) or uniq:
+    if items_spec is not None or isinstance(cont, dict) or uniq:
         vals = pc.list_flatten(arr)  # skips null slots, matching fill_null(0)
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
@@ -561,15 +608,27 @@ def _array_masks(
             return None
         vals_null = vals.is_null().to_numpy(zero_copy_only=False)
         rows = np.repeat(np.arange(m, dtype=np.int64), counts)
-    if run_items:
-        ebad = _scalar_masks(vals, items, nullm=vals_null)
+    if isinstance(items_spec, tuple):  # ("object", nested_fields)
+        res = _object_masks(vals, items_spec[1], nullm=vals_null)
+        if res is None:
+            return None
+        ebad, eamb = res
+        # a null ELEMENT is a genuine JSON null: it fails `type: object`
+        ebad = ebad | vals_null
+        if len(vals):
+            bad |= (np.bincount(rows[ebad], minlength=m) > 0) & present
+            # an ambiguous element makes the ROW ambiguous (walks) unless
+            # another element already decided the row definitively bad
+            amb |= (np.bincount(rows[eamb], minlength=m) > 0) & present
+    elif items_spec is not None:
+        ebad = _scalar_masks(vals, items_spec, nullm=vals_null)
         if ebad is None:
             return None
         # a null ELEMENT is a genuine JSON null (no absent reading inside a
         # list): it definitively fails items' `type`/None-free enum, and
         # definitively passes otherwise (range/length/pattern apply only to
         # matching primitive types)
-        if _null_invalid(items):
+        if _null_invalid(items_spec):
             ebad = ebad | vals_null
         if len(vals):
             hits = np.bincount(rows[ebad], minlength=m) > 0
@@ -614,7 +673,7 @@ def _array_masks(
             {"r": rows, "v": vals.to_pandas().to_numpy()}
         ).duplicated().to_numpy()
         bad |= (np.bincount(rows[dup], minlength=m) > 0) & present
-    return bad, zeros
+    return bad, amb
 
 
 def _object_masks(
@@ -641,7 +700,7 @@ def _object_masks(
     bad = np.zeros(m, dtype=bool)
     amb = np.zeros(m, dtype=bool)
     fields = {t.field(i).name for i in range(t.num_fields)}
-    for fname, (fsub, f_null_ok, f_req, f_null_inv) in nested.items():
+    for fname, (fsub, f_null_ok, f_req, f_null_inv, f_extra) in nested.items():
         if fname not in fields:
             # the struct TYPE is the union of keys across rows: a field
             # absent from the type is absent in EVERY row -> required fails
@@ -660,10 +719,18 @@ def _object_masks(
             bad |= cnull
         elif not f_null_ok:
             amb |= cnull
-        cbad = _scalar_masks(child, fsub, nullm=child_null)
-        if cbad is None:
-            return None
-        bad |= cbad & present
+        if f_extra is not None:  # ("array", items_spec)
+            res = _array_masks(child, fsub, nullm=child_null,
+                               items_spec=f_extra[1])
+            if res is None:
+                return None
+            bad |= res[0] & present
+            amb |= res[1] & present
+        else:
+            cbad = _scalar_masks(child, fsub, nullm=child_null)
+            if cbad is None:
+                return None
+            bad |= cbad & present
     return bad, amb
 
 
@@ -836,7 +903,7 @@ def _plan_masks(
                     return None
                 amb = None
             elif extra[0] == "array":
-                res = _array_masks(arr, sub, nullm=nullm)
+                res = _array_masks(arr, sub, nullm=nullm, items_spec=extra[1])
                 if res is None:
                     return None
                 bad, amb = res

@@ -1012,6 +1012,133 @@ def test_screen_array_contains_unique_differential():
         pd.testing.assert_frame_equal(fast, slow)
 
 
+ARR_OF_OBJ = {
+    "type": "object",
+    "properties": {
+        "recs": {
+            "type": "array",
+            "minItems": 1,
+            "items": {
+                "type": "object",
+                "required": ["id"],
+                "properties": {"id": {"type": "integer", "minimum": 0},
+                               "w": {"maximum": 10}},
+            },
+        },
+    },
+}
+
+OBJ_WITH_ARR = {
+    "type": "object",
+    "properties": {
+        "meta": {
+            "type": "object",
+            "required": ["tags"],
+            "properties": {
+                "tags": {"type": "array", "items": {"type": "string"},
+                         "minItems": 1, "uniqueItems": True},
+                "n": {"type": "integer"},
+            },
+        },
+    },
+}
+
+
+def test_screen_array_of_objects_crafted_verdicts():
+    data = Schema(ARR_OF_OBJ).data
+    plan = plan_screen(data)
+    assert plan is not None, "array-of-objects must be plan-eligible"
+    cases = [
+        ({"recs": [{"id": 1}, {"id": 2, "w": 3}]}, True, True),
+        ({"recs": [{"id": -1}]}, False, True),      # element minimum
+        ({"recs": [{"w": 3}]}, False, True),        # required id: absent from
+                                                    # every element struct key
+        ({"recs": []}, False, True),                # minItems
+        ({"recs": [{"id": 1, "w": 99}]}, False, True),  # element maximum
+        ({"recs": 5}, False, True),                 # not an array
+        ({"recs": [{"id": 2.5}]}, False, True),     # element id type
+    ]
+    for row, want, definitive in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        assert not (valid & invalid).any()
+        if definitive:
+            assert (valid.all() if want else invalid.all()), row
+    # ambiguous ELEMENT: id null in a batch whose element type HAS id ->
+    # absent(required fails) vs null(fails type integer)... both invalid
+    # -> actually definitive; build true ambiguity via an optional field
+    # with a type: {"w": null} next to {"w": 3} -> w cell null is
+    # absent(valid) vs null(fails maximum? no - maximum passes null)...
+    # w has no type so null passes -> both readings valid -> no ambiguity.
+    # True per-element ambiguity needs required+null-valid, impossible
+    # here; covered by the differential below instead.
+
+
+def test_screen_array_of_objects_differential():
+    data = Schema(ARR_OF_OBJ).data
+    plan = plan_screen(data)
+    pool = [
+        [{"id": 1}, {"id": 2, "w": 3}], [{"id": -1}], [], [{"w": 4}],
+        [{"id": 0, "w": 99}], [{"id": 7, "w": None}], [{"id": None}], None,
+    ]
+    for seed in range(30):
+        rng = random.Random(9900 + seed)
+        rows = []
+        for _ in range(40):
+            r = rng.randrange(10)
+            obj = {}
+            if r >= 2:
+                obj["recs"] = rng.choice(pool)
+            rows.append(json.dumps(obj))
+        s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_screen_object_with_array_field():
+    data = Schema(OBJ_WITH_ARR).data
+    plan = plan_screen(data)
+    assert plan is not None, "array field inside nested object must be eligible"
+    cases = [
+        ({"meta": {"tags": ["a", "b"], "n": 1}}, True),
+        ({"meta": {"tags": ["a", "a"]}}, False),   # uniqueItems
+        ({"meta": {"tags": []}}, False),            # minItems
+        ({"meta": {"tags": [1]}}, False),           # items type
+        ({"meta": {"n": 1}}, False),                # required tags (absent
+                                                    # from the struct type)
+        ({"meta": {"tags": "x"}}, False),           # not an array
+    ]
+    for row, want in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        assert not (valid & invalid).any()
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+    # differential over mixed batches
+    pool = [{"tags": ["a", "b"], "n": 1}, {"tags": ["a", "a"]}, {"tags": []},
+            {"n": 2}, {"tags": ["x"], "n": None}, None]
+    for seed in range(25):
+        rng = random.Random(7700 + seed)
+        rows = []
+        for _ in range(40):
+            r = rng.randrange(10)
+            obj = {}
+            if r >= 2:
+                obj["meta"] = rng.choice(pool)
+            rows.append(json.dumps(obj))
+        s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_gate_metrics_accumulators(spark):
     """GateMetrics counts the screen/walk split across executors: on the
     bench events shape every row is screen-decided (valid or fast-reject),
