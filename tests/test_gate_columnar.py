@@ -1200,6 +1200,12 @@ _H_VALUES = st.one_of(
     _H_SCALARS,
     st.lists(_H_SCALARS, max_size=4),
     st.dictionaries(st.sampled_from(["w", "fmt", "z"]), _H_SCALARS, max_size=3),
+    # lists of records, matching the array-of-objects items the schema
+    # generator can now draw
+    st.lists(
+        st.dictionaries(st.sampled_from(["w", "fmt"]), _H_SCALARS, max_size=2),
+        max_size=3,
+    ),
 )
 
 
@@ -1243,9 +1249,17 @@ def _h_subschema(draw):
     elif comb:
         sub[comb] = draw(st.lists(member, min_size=1, max_size=3))
     if t == "array" and draw(st.booleans()):
-        sub["items"] = {"type": draw(st.sampled_from(["integer", "string"]))}
+        sub["items"] = draw(st.sampled_from([
+            {"type": "integer"}, {"type": "string"},
+            {"type": "object", "required": ["w"],
+             "properties": {"w": {"type": "integer", "minimum": 1}}},
+        ]))
         if draw(st.booleans()):
             sub["minItems"] = draw(st.integers(min_value=0, max_value=3))
+        if draw(st.booleans()):
+            sub["uniqueItems"] = draw(st.booleans())
+        if draw(st.booleans()):
+            sub["contains"] = {"minimum": 5}
     if t == "object" and draw(st.booleans()):
         sub["properties"] = {"w": {"type": "integer", "minimum": 1}}
         if draw(st.booleans()):
