@@ -64,7 +64,17 @@ import pandas as pd
 
 _MAX_EXACT = 2 ** 53  # float64 exact-integer range
 
-_ALLOWED_TOP = {"type", "required", "properties"}
+_ALLOWED_TOP = {
+    "type", "required", "properties",
+    "additionalProperties", "patternProperties", "propertyNames",
+}
+# non-string plan key carrying the object-level extras (JSON property names
+# are strings, so this can never collide with a real property entry).  A
+# CLASS object, not object(): classes pickle by module reference, so the
+# key keeps its identity when the UDF closure ships the plan to executors
+# (a bare object() unpickles to a NEW instance and `is` checks break).
+class _EXTRAS:
+    pass
 # multipleOf's isapprox tolerance, exactly the walk's (validator._multiple_of)
 _MULT_RTOL = 1.4901161193847656e-08  # sqrt(float64 eps)
 _ALLOWED_KW = {
@@ -337,6 +347,44 @@ def plan_screen(schema_data: Any) -> dict | None:
     for r in req:
         if r not in plan:
             plan[r] = ({}, False, True, False, None)
+
+    # object-level extras: additionalProperties / patternProperties /
+    # propertyNames apply to whichever keys a batch actually mentions —
+    # the parsed table's column set is exactly that key universe, so the
+    # constraints compile to per-column checks at screen time
+    ap = schema_data.get("additionalProperties")
+    if "additionalProperties" in schema_data:
+        if isinstance(ap, dict):
+            if not _plan_scalar(ap):
+                return None
+        elif not isinstance(ap, bool):
+            return None
+    pats: list[tuple] = []
+    pp = schema_data.get("patternProperties")
+    if pp is not None:
+        if not isinstance(pp, dict):
+            return None
+        for pat, psub in pp.items():
+            if not isinstance(pat, str) or not isinstance(psub, dict) \
+                    or not _plan_scalar(psub):
+                return None
+            try:
+                pats.append((re.compile(pat), psub))
+            except re.error:
+                return None
+    pn = schema_data.get("propertyNames")
+    if pn is not None and not isinstance(pn, (dict, bool)):
+        return None
+    if ("additionalProperties" in schema_data and ap is not True) or pats \
+            or pn is not None:
+        plan[_EXTRAS] = {
+            # the walk's _unmatched_keys uses `properties` keys only — a
+            # required key WITHOUT a properties entry is still additional
+            "known": set(props),
+            "patterns": pats,
+            "additional": ap if "additionalProperties" in schema_data else None,
+            "prop_names": pn,
+        }
     return plan
 
 
@@ -873,7 +921,11 @@ def _plan_masks(
     ok = np.ones(size, dtype=bool)
     inv = np.zeros(size, dtype=bool)
     names = set(tbl.schema.names)
-    for name, (sub, null_ok, required, null_invalid, extra) in plan.items():
+    extras = plan.get(_EXTRAS)
+    for name, spec in plan.items():
+        if name is _EXTRAS:
+            continue
+        sub, null_ok, required, null_invalid, extra = spec
         if name not in names:
             # no row mentions the key at all (an explicit `"k": null` would
             # have produced a null-typed column, so column absence proves
@@ -925,7 +977,78 @@ def _plan_masks(
             ok &= ~amb
         inv |= bad
 
+    if extras is not None:
+        res = _extras_masks(tbl, extras, ok, inv)
+        if res is None:
+            return None
+
     return ok, inv
+
+
+def _extras_masks(tbl, extras: dict, ok: np.ndarray, inv: np.ndarray):
+    """Apply object-level extras (propertyNames / patternProperties /
+    additionalProperties) to the (ok, inv) masks IN PLACE; None -> batch
+    fallback.  The parsed table's columns are exactly the keys any row
+    mentions, so each constraint compiles to per-column checks:
+
+      * propertyNames judges each column NAME with the exact walk validator
+        (names are fully known — any schema works); a failing name makes
+        non-null cells definitively invalid and null cells ambiguous (the
+        absent reading has no such key, the explicit-null reading does);
+      * patternProperties applies its subschema's scalar masks to every
+        column whose name the pattern matches (known or not — the walk
+        checks matching keys regardless of `properties` membership);
+      * additionalProperties applies to columns neither in `properties` nor
+        matched by any pattern: False fast-rejects rows mentioning such a
+        key; a schema form runs its scalar masks.  A batch with NO such
+        columns proves every row clean (column absence proves key absence).
+    """
+    import pyarrow as pa
+
+    from jsonschema_jl_spark.gate.validator import _validate
+
+    known = extras["known"]
+    patterns = extras["patterns"]
+    ap = extras["additional"]
+    pn = extras["prop_names"]
+    for cname in tbl.schema.names:
+        matched = [psub for rx, psub in patterns if rx.search(cname)]
+        is_additional = cname not in known and not matched
+        pn_fails = pn is not None and _validate(cname, pn, "") is not None
+        ap_applies = is_additional and ap is not None
+        if not (matched or pn_fails or ap_applies):
+            continue
+        try:
+            col = tbl.column(cname)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            colnull = col.is_null().to_numpy(zero_copy_only=False)
+            nonnull = ~colnull
+            if pn_fails or (ap_applies and ap is False):
+                inv |= nonnull
+                # every row's cell is either non-null (key definitively
+                # present -> invalid) or null (absent-OR-null: the
+                # explicit-null reading carries the offending key ->
+                # ambiguous), so no row in a batch containing this column
+                # can be certified valid
+                ok[:] = False
+                continue
+            subs = list(matched)
+            if ap_applies and isinstance(ap, dict):
+                subs.append(ap)
+            for psub in subs:
+                pbad = _scalar_masks(col, psub, nullm=colnull)
+                if pbad is None:
+                    return None
+                inv |= pbad
+                ok &= ~pbad
+                if _null_invalid(psub):
+                    # explicit-null reading fails the subschema; absent
+                    # reading passes -> ambiguous
+                    ok &= ~colnull
+        except Exception:
+            return None
+    return True
 
 
 def plan_screen_conj(schema_data: Any) -> list | tuple | None:

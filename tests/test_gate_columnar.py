@@ -60,8 +60,12 @@ def test_plan_ineligible_or_required_walks(schema):
     if plan is None:
         return
     # plans that exist must still never screen-valid a row whose verdict
-    # depends on absent-vs-null (covered by the soundness test below)
-    assert all(not entry[1] for entry in plan.values()) or True
+    # depends on absent-vs-null (covered by the soundness test below);
+    # non-tuple entries (the object-level extras slot) are not per-property
+    # flag tuples
+    assert all(
+        not entry[1] for entry in plan.values() if isinstance(entry, tuple)
+    ) or True
 
 
 # per-JSON-type value pools: a batch picks ONE pool per field (pyarrow
@@ -1134,6 +1138,115 @@ def test_screen_object_with_array_field():
                 obj["meta"] = rng.choice(pool)
             rows.append(json.dumps(obj))
         s = pd.Series(rows, dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+
+
+STRICT = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer"}, "tag": {"type": "string"}},
+    "additionalProperties": False,
+}
+
+PAT_PROPS = {
+    "type": "object",
+    "properties": {"id": {"type": "integer"}},
+    "patternProperties": {"^x_": {"type": "integer", "minimum": 0}},
+    "additionalProperties": {"type": "string"},
+}
+
+PROP_NAMES = {
+    "type": "object",
+    "propertyNames": {"minLength": 2, "pattern": "^[a-z]"},
+}
+
+
+def test_screen_additional_properties_false():
+    data = Schema(STRICT).data
+    plan = plan_screen(data)
+    assert plan is not None, "additionalProperties: false must be screenable"
+    # clean batch: no unknown columns -> strictness proven for every row
+    # (all rows carry tag so the optional typed property is unambiguous)
+    rows = [json.dumps({"k": 1, "tag": "a"}), json.dumps({"k": 2, "tag": "b"})]
+    valid, invalid = screen_batch(pd.Series(rows * 3, dtype=object), plan)
+    assert valid.all() and not invalid.any()
+    # dirty batch: rows mentioning the stray key fast-reject; the clean row
+    # cannot certify (its null cell in the stray column is ambiguous)
+    rows = [json.dumps({"k": 1, "zz": 9}), json.dumps({"k": 1})]
+    s = pd.Series(rows * 2, dtype=object)
+    valid, invalid = screen_batch(s, plan)
+    assert not valid.any()
+    assert invalid[0] and invalid[2] and not invalid[1] and not invalid[3]
+    for row in [{"k": 1, "zz": 9}, {"k": 1}]:
+        assert (_issue_record(row, data) is None) == ("zz" not in row)
+    # walk parity on mixed batches
+    data_pool = [{"k": 1}, {"k": 2, "tag": "t"}, {"k": 3, "zz": 1}, {"zz": None}]
+    for seed in range(20):
+        rng = random.Random(3300 + seed)
+        s = pd.Series([json.dumps(rng.choice(data_pool)) for _ in range(40)],
+                      dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_screen_pattern_properties_and_additional_schema():
+    data = Schema(PAT_PROPS).data
+    plan = plan_screen(data)
+    assert plan is not None
+    cases = [
+        ({"id": 1, "x_a": 5}, True),
+        ({"x_a": -1}, False),           # pattern subschema minimum
+        ({"x_a": "s"}, False),          # pattern subschema type
+        ({"id": 1, "note": "ok"}, True),   # additional: string passes
+        ({"note": 5}, False),           # additional: non-string fails
+        ({}, True),
+    ]
+    for row, want in cases:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        assert not (valid & invalid).any()
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+    # a key matching BOTH properties and a pattern must satisfy both: the
+    # walk checks patternProperties regardless of properties membership
+    both = {"type": "object", "properties": {"x_v": {"maximum": 10}},
+            "patternProperties": {"^x_": {"minimum": 0}}}
+    bdata = Schema(both).data
+    bplan = plan_screen(bdata)
+    for row, want in [({"x_v": 5}, True), ({"x_v": -1}, False), ({"x_v": 11}, False)]:
+        assert (_issue_record(row, bdata) is None) == want, row
+        valid, invalid = screen_batch(
+            pd.Series([json.dumps(row)] * 3, dtype=object), bplan)
+        assert (valid.all() if want else invalid.all()), row
+
+
+def test_screen_property_names():
+    data = Schema(PROP_NAMES).data
+    plan = plan_screen(data)
+    assert plan is not None
+    ok_rows = [json.dumps({"ab": 1, "cd": "x"}), json.dumps({})]
+    valid, invalid = screen_batch(pd.Series(ok_rows * 2, dtype=object), plan)
+    assert valid.all() and not invalid.any()
+    bad_rows = [json.dumps({"A": 1}), json.dumps({"ab": 2})]
+    s = pd.Series(bad_rows * 2, dtype=object)
+    valid, invalid = screen_batch(s, plan)
+    assert invalid[0] and invalid[2]        # "A" fails pattern ^[a-z]
+    assert not valid.any()                  # null cells in "A" -> ambiguous
+    for row in [{"A": 1}, {"ab": 2}]:
+        assert (_issue_record(row, data) is None) == ("A" not in row)
+    # walk parity
+    pool = [{"ab": 1}, {"A": 1}, {"z": 2}, {"ok": "x", "No": 1}, {}]
+    for seed in range(20):
+        rng = random.Random(6600 + seed)
+        s = pd.Series([json.dumps(rng.choice(pool)) for _ in range(40)],
+                      dtype=object)
         fast = _gate_rows(s, data, plan)
         slow = _gate_rows(s, data, None)
         pd.testing.assert_frame_equal(fast, slow)
