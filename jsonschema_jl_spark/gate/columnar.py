@@ -5,10 +5,13 @@ keyword dispatch) — correct but the slowest kernel per core in the engine.
 For common object schemas — type/required/properties with scalar keyword
 checks (incl. multipleOf, union type lists, and scalar-level
 allOf/anyOf/oneOf/not/if-then-else), array-of-scalar
-`items`/`minItems`/`maxItems`, one-level nested `properties`, and
-top-level allOf/anyOf/oneOf/not/if-then-else of such schemas, all
-evaluated over ONE parse — this module screens whole Arrow batches
-columnar-ly:
+`items`/`minItems`/`maxItems`/`contains`/`uniqueItems` (items may be a
+one-level object schema), one-level nested `properties` (fields may be
+arrays of scalars), object-level `additionalProperties` /
+`patternProperties` / `propertyNames` (the parsed column set is the key
+universe), and top-level allOf/anyOf/oneOf/not/if-then-else of such
+schemas, all evaluated over ONE parse — this module screens whole Arrow
+batches columnar-ly:
 
   1. the batch's JSON texts are parsed ONCE by pyarrow.json.read_json
      (C++, simdjson-class throughput) into a columnar table;
