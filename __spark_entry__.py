@@ -294,6 +294,36 @@ def q_gate_screened_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "isvalid")
 
 
+_STRICT_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0}},
+    "additionalProperties": False,
+}
+
+
+def q_gate_strict_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the strictest production intake shape: a closed record schema
+    # (additionalProperties: false).  Odd events carry a stray key and must
+    # reject; even events are clean.  Exercises the object-level extras
+    # screen (gate/columnar.py): clean batches certify columnar-ly, stray
+    # keys fast-reject without per-row Python.
+    k = F.get_json_object("props", "$.k").cast("long")
+    obj = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit('{"k": '), k.cast("string"), F.lit("}")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"k": '), k.cast("string"),
+            F.lit(', "stray": '), (F.col("user_id") % 7).cast("string"),
+            F.lit("}"),
+        )
+    )
+    ev = _events(spark, sf_dir).withColumn("obj_json", obj)
+    out = apply_gate(ev, _STRICT_SCHEMA, json_col="obj_json")
+    return out.select("event_id", "isvalid")
+
+
 def q_gate_property_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn(
         "obj_json", F.concat(F.lit('{"'), F.col("event_type"), F.lit('": 1}'))
@@ -880,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_dependencies": q_gate_dependencies,
         "gate_property_names": q_gate_property_names,
         "gate_screened_combo": q_gate_screened_combo,
+        "gate_strict_intake": q_gate_strict_intake,
         "gate_numeric_bounds": q_gate_numeric_bounds,
         "gate_exclusive_draft4": q_gate_exclusive_draft4,
         "gate_combinators": q_gate_combinators,
@@ -1203,6 +1234,14 @@ def _oracle_sql_dict() -> dict[str, str]:
         "gate_property_names": """
           SELECT event_id,
                  (length(event_type) >= 5 AND NOT starts_with(event_type, 'e')) AS isvalid
+          FROM events
+        """,
+        "gate_strict_intake": """
+          SELECT event_id,
+                 (event_id % 2 = 0
+                  AND CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+                  AND CAST(json_extract(props, '$.k') AS BIGINT) >= 0
+                 ) AS isvalid
           FROM events
         """,
         "gate_screened_combo": """
