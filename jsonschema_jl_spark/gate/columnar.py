@@ -70,6 +70,7 @@ _MAX_EXACT = 2 ** 53  # float64 exact-integer range
 _ALLOWED_TOP = {
     "type", "required", "properties",
     "additionalProperties", "patternProperties", "propertyNames",
+    "minProperties", "maxProperties",
 }
 # non-string plan key carrying the object-level extras (JSON property names
 # are strings, so this can never collide with a real property entry).  A
@@ -378,8 +379,13 @@ def plan_screen(schema_data: Any) -> dict | None:
     pn = schema_data.get("propertyNames")
     if pn is not None and not isinstance(pn, (dict, bool)):
         return None
+    mn = schema_data.get("minProperties")
+    mx = schema_data.get("maxProperties")
+    for v in (mn, mx):
+        if v is not None and not _count_int(v):
+            return None
     if ("additionalProperties" in schema_data and ap is not True) or pats \
-            or pn is not None:
+            or pn is not None or mn is not None or mx is not None:
         plan[_EXTRAS] = {
             # the walk's _unmatched_keys uses `properties` keys only — a
             # required key WITHOUT a properties entry is still additional
@@ -387,6 +393,8 @@ def plan_screen(schema_data: Any) -> dict | None:
             "patterns": pats,
             "additional": ap if "additionalProperties" in schema_data else None,
             "prop_names": pn,
+            "min_props": mn,
+            "max_props": mx,
         }
     return plan
 
@@ -1014,6 +1022,36 @@ def _extras_masks(tbl, extras: dict, ok: np.ndarray, inv: np.ndarray):
     patterns = extras["patterns"]
     ap = extras["additional"]
     pn = extras["prop_names"]
+    mn = extras.get("min_props")
+    mx = extras.get("max_props")
+    if mn is not None or mx is not None:
+        # a row's true key count lies in [non-null cells, total columns]:
+        # a null cell is absent-OR-an-explicit-null-key, and every column
+        # beyond the row's cells is proven absent.  Definitive verdicts
+        # come from the interval endpoints; in-between rows stay walkable.
+        try:
+            counts = np.zeros(len(ok), dtype=np.int64)
+            for cname in tbl.schema.names:
+                c = tbl.column(cname)
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                counts += ~c.is_null().to_numpy(zero_copy_only=False)
+        except Exception:
+            return None
+        ncols = tbl.num_columns
+        if mx is not None:
+            inv |= counts > mx
+            if ncols > mx:
+                # some null cell could be an explicit-null KEY pushing a
+                # row over the max -> nothing below the max certifies
+                ok[:] = False
+        if mn is not None:
+            if ncols < mn:
+                # even the all-nulls-are-keys reading falls short
+                inv[:] = True
+                ok[:] = False
+            else:
+                ok &= counts >= mn
     for cname in tbl.schema.names:
         matched = [psub for rx, psub in patterns if rx.search(cname)]
         is_additional = cname not in known and not matched

@@ -1252,6 +1252,41 @@ def test_screen_property_names():
         pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_screen_min_max_properties():
+    data = Schema({"type": "object", "minProperties": 1, "maxProperties": 2}).data
+    plan = plan_screen(data)
+    assert plan is not None
+    # homogeneous batches: counts fully decided (all keys non-null)
+    for row, want in [({"a": 1}, True), ({"a": 1, "b": 2}, True),
+                      ({"a": 1, "b": 2, "c": 3}, False), ({}, False)]:
+        assert (_issue_record(row, data) is None) == want, row
+        masks = screen_batch(pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert masks is not None, row
+        valid, invalid = masks
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+    # mixed batch: {} rows in a 3-column batch are count-ambiguous for max
+    # (a null cell might be an explicit-null KEY) but {} fails min only if
+    # even the all-keys reading falls short — here ncols=3 >= 1, so {} is
+    # ambiguous on min too -> walks; the 3-key row still fast-rejects
+    rows = [json.dumps({"a": 1, "b": 2, "c": 3}), json.dumps({})]
+    valid, invalid = screen_batch(pd.Series(rows * 2, dtype=object), plan)
+    assert invalid[0] and invalid[2] and not valid.any()
+    assert not invalid[1] and not invalid[3]
+    # walk parity
+    pool = [{}, {"a": 1}, {"a": 1, "b": 2}, {"a": 1, "b": 2, "c": 3},
+            {"a": None}, {"a": None, "b": 1}]
+    for seed in range(20):
+        rng = random.Random(8100 + seed)
+        s = pd.Series([json.dumps(rng.choice(pool)) for _ in range(40)],
+                      dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_gate_metrics_accumulators(spark):
     """GateMetrics counts the screen/walk split across executors: on the
     bench events shape every row is screen-decided (valid or fast-reject),
