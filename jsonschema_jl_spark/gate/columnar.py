@@ -70,7 +70,7 @@ _MAX_EXACT = 2 ** 53  # float64 exact-integer range
 _ALLOWED_TOP = {
     "type", "required", "properties",
     "additionalProperties", "patternProperties", "propertyNames",
-    "minProperties", "maxProperties",
+    "minProperties", "maxProperties", "dependencies",
 }
 # non-string plan key carrying the object-level extras (JSON property names
 # are strings, so this can never collide with a real property entry).  A
@@ -384,8 +384,27 @@ def plan_screen(schema_data: Any) -> dict | None:
     for v in (mn, mx):
         if v is not None and not _count_int(v):
             return None
+    deps: list[tuple] = []
+    dd = schema_data.get("dependencies")
+    if dd is not None:
+        if not isinstance(dd, dict):
+            return None
+        for dkey, dval in dd.items():
+            if not isinstance(dkey, str):
+                return None
+            if isinstance(dval, list):
+                if not all(isinstance(n, str) for n in dval):
+                    return None
+                deps.append((dkey, ("keys", dval)))
+            elif isinstance(dval, dict):
+                dplan = plan_screen(dval)
+                if dplan is None:
+                    return None
+                deps.append((dkey, ("schema", dplan)))
+            else:
+                return None
     if ("additionalProperties" in schema_data and ap is not True) or pats \
-            or pn is not None or mn is not None or mx is not None:
+            or pn is not None or mn is not None or mx is not None or deps:
         plan[_EXTRAS] = {
             # the walk's _unmatched_keys uses `properties` keys only — a
             # required key WITHOUT a properties entry is still additional
@@ -395,6 +414,7 @@ def plan_screen(schema_data: Any) -> dict | None:
             "prop_names": pn,
             "min_props": mn,
             "max_props": mx,
+            "deps": deps,
         }
     return plan
 
@@ -1024,6 +1044,40 @@ def _extras_masks(tbl, extras: dict, ok: np.ndarray, inv: np.ndarray):
     pn = extras["prop_names"]
     mn = extras.get("min_props")
     mx = extras.get("max_props")
+    names = set(tbl.schema.names)
+    for dkey, (kind, payload) in extras.get("deps", ()):
+        if dkey not in names:
+            continue  # no row mentions the trigger key -> dep vacuous
+        try:
+            kc = tbl.column(dkey)
+            if isinstance(kc, pa.ChunkedArray):
+                kc = kc.combine_chunks()
+            knonnull = ~kc.is_null().to_numpy(zero_copy_only=False)
+            if kind == "keys":
+                # the dep requires these KEYS present; an explicit-null
+                # value still counts as present, so a needed column's
+                # null cell is ambiguous and only non-null cells certify
+                for need in payload:
+                    if need not in names:
+                        inv |= knonnull  # needed key absent in EVERY row
+                        ok[:] = False
+                        continue
+                    nc = tbl.column(need)
+                    if isinstance(nc, pa.ChunkedArray):
+                        nc = nc.combine_chunks()
+                    ok &= ~nc.is_null().to_numpy(zero_copy_only=False)
+            else:  # ("schema", dep_plan)
+                res = _plan_masks(tbl, payload, len(ok))
+                if res is None:
+                    return None
+                ok_d, inv_d = res
+                # trigger-key-definitely-present rows need the dep schema;
+                # trigger-null rows certify only when the dep ALSO holds
+                # (the explicit-null reading applies it)
+                inv |= knonnull & inv_d
+                ok &= ok_d
+        except Exception:
+            return None
     if mn is not None or mx is not None:
         # a row's true key count lies in [non-null cells, total columns]:
         # a null cell is absent-OR-an-explicit-null-key, and every column

@@ -1287,6 +1287,53 @@ def test_screen_min_max_properties():
         pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_screen_dependencies_both_forms():
+    dep_keys = {"type": "object", "dependencies": {"b": ["a"]}}
+    data = Schema(dep_keys).data
+    plan = plan_screen(data)
+    assert plan is not None
+    for row, want in [({"a": 1, "b": 2}, True), ({"a": 1}, True),
+                      ({}, True)]:
+        assert (_issue_record(row, data) is None) == want, row
+        valid, invalid = screen_batch(
+            pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+        assert valid.all() and not invalid.any(), row
+    # b present, a column entirely missing -> definitive reject
+    row = {"b": 2}
+    assert _issue_record(row, data) is not None
+    valid, invalid = screen_batch(
+        pd.Series([json.dumps(row)] * 3, dtype=object), plan)
+    assert invalid.all() and not valid.any()
+
+    dep_schema = {"type": "object",
+                  "dependencies": {"b": {"properties": {"a": {"maximum": 25}}}}}
+    sdata = Schema(dep_schema).data
+    splan = plan_screen(sdata)
+    assert splan is not None
+    for row, want in [({"a": 10, "b": 1}, True), ({"a": 30, "b": 1}, False),
+                      ({"a": 30}, True), ({"b": 1}, True)]:
+        assert (_issue_record(row, sdata) is None) == want, row
+        masks = screen_batch(
+            pd.Series([json.dumps(row)] * 3, dtype=object), splan)
+        assert masks is not None, row
+        valid, invalid = masks
+        if want:
+            assert valid.all() and not invalid.any(), row
+        else:
+            assert not valid.any() and invalid.all(), row
+    # walk parity over mixed batches (nulls included)
+    pool = [{"a": 10, "b": 1}, {"a": 30, "b": 1}, {"a": 30}, {"b": 1}, {},
+            {"a": None, "b": 1}, {"b": None}]
+    for data_, plan_ in ((data, plan), (sdata, splan)):
+        for seed in range(20):
+            rng = random.Random(9400 + seed)
+            s = pd.Series([json.dumps(rng.choice(pool)) for _ in range(40)],
+                          dtype=object)
+            fast = _gate_rows(s, data_, plan_)
+            slow = _gate_rows(s, data_, None)
+            pd.testing.assert_frame_equal(fast, slow)
+
+
 def test_gate_metrics_accumulators(spark):
     """GateMetrics counts the screen/walk split across executors: on the
     bench events shape every row is screen-decided (valid or fast-reject),
