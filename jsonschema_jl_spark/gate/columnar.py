@@ -8,8 +8,8 @@ allOf/anyOf/oneOf/not/if-then-else), array-of-scalar
 `items`/`minItems`/`maxItems`/`contains`/`uniqueItems` (items may be a
 one-level object schema), one-level nested `properties` (fields may be
 arrays of scalars), object-level `additionalProperties` /
-`patternProperties` / `propertyNames` (the parsed column set is the key
-universe), and top-level allOf/anyOf/oneOf/not/if-then-else of such
+`patternProperties` / `propertyNames` / `minProperties` / `maxProperties`
+/ `dependencies` (the parsed column set is the key universe), and top-level allOf/anyOf/oneOf/not/if-then-else of such
 schemas, all evaluated over ONE parse — this module screens whole Arrow
 batches columnar-ly:
 
