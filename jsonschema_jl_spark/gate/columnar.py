@@ -293,6 +293,17 @@ def _plan_object_fields(sub: dict, deep: bool):
 
 def plan_screen(schema_data: Any) -> dict | None:
     """Compile a screening plan, or None when the schema is not screenable.
+    A cyclic schema (an inlined recursive $ref) overflows the planner's
+    recursion and falls back to the walk, which raises the reference's
+    documented circular-reference error at validate time."""
+    try:
+        return _plan_screen_impl(schema_data)
+    except RecursionError:
+        return None
+
+
+def _plan_screen_impl(schema_data: Any) -> dict | None:
+    """plan_screen's body (see its docstring).
 
     The plan maps property name -> (subschema, null_ok, required,
     null_invalid, extra) where null_ok means "a row whose field is
@@ -1164,6 +1175,13 @@ def plan_screen_conj(schema_data: Any) -> list | tuple | None:
       not     valid=member inv,                invalid=member ok
       ite     valid=(if ok ∧ then ok) ∨        invalid=(if ok ∧ then inv) ∨
                     (if inv ∧ else ok),                (if inv ∧ else inv)"""
+    try:
+        return _plan_screen_conj_impl(schema_data)
+    except RecursionError:
+        return None  # cyclic schema: walk (raises the documented error)
+
+
+def _plan_screen_conj_impl(schema_data: Any) -> list | tuple | None:
     if not isinstance(schema_data, dict):
         return None
     extra_top = {"allOf", "anyOf", "oneOf", "not", "if", "then", "else"}

@@ -1287,6 +1287,21 @@ def test_screen_min_max_properties():
         pd.testing.assert_frame_equal(fast, slow)
 
 
+def test_cyclic_schema_plans_fall_back():
+    """An inlined recursive $ref makes the schema dict cyclic; the planner
+    must return None (walk; the validator raises the reference's documented
+    circular-reference error), not crash with RecursionError."""
+    from jsonschema_jl_spark.gate.columnar import plan_screen_conj
+
+    sub = {"allOf": []}
+    sub["allOf"].append(sub)
+    assert plan_screen({"type": "object", "properties": {"k": sub}}) is None
+    dep = {"type": "object"}
+    dep["dependencies"] = {"b": dep}
+    assert plan_screen(dep) is None
+    assert plan_screen_conj({"allOf": [sub]}) is None
+
+
 def test_screen_dependencies_both_forms():
     dep_keys = {"type": "object", "dependencies": {"b": ["a"]}}
     data = Schema(dep_keys).data
