@@ -388,8 +388,18 @@ def _plan_screen_impl(schema_data: Any) -> dict | None:
             except re.error:
                 return None
     pn = schema_data.get("propertyNames")
-    if pn is not None and not isinstance(pn, (dict, bool)):
-        return None
+    if pn is not None:
+        if not isinstance(pn, (dict, bool)):
+            return None
+        # probe the name validator once at plan time: a malformed pn schema
+        # (uncompilable pattern, cyclic dict) raises data-independently and
+        # must fall back to the walk, not crash the screen per batch
+        try:
+            from jsonschema_jl_spark.gate.validator import _validate
+
+            _validate("probe", pn, "")
+        except Exception:
+            return None
     mn = schema_data.get("minProperties")
     mx = schema_data.get("maxProperties")
     for v in (mn, mx):
@@ -1056,14 +1066,27 @@ def _extras_masks(tbl, extras: dict, ok: np.ndarray, inv: np.ndarray):
     mn = extras.get("min_props")
     mx = extras.get("max_props")
     names = set(tbl.schema.names)
+
+    # one (column, null-bitmap) materialization per column per batch,
+    # shared across the deps / key-count / pattern loops (same convention
+    # as _plan_masks' nullm sharing)
+    _cols: dict = {}
+
+    def _col_null(cname):
+        hit = _cols.get(cname)
+        if hit is None:
+            c = tbl.column(cname)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            hit = (c, c.is_null().to_numpy(zero_copy_only=False))
+            _cols[cname] = hit
+        return hit
+
     for dkey, (kind, payload) in extras.get("deps", ()):
         if dkey not in names:
             continue  # no row mentions the trigger key -> dep vacuous
         try:
-            kc = tbl.column(dkey)
-            if isinstance(kc, pa.ChunkedArray):
-                kc = kc.combine_chunks()
-            knonnull = ~kc.is_null().to_numpy(zero_copy_only=False)
+            knonnull = ~_col_null(dkey)[1]
             if kind == "keys":
                 # the dep requires these KEYS present; an explicit-null
                 # value still counts as present, so a needed column's
@@ -1073,10 +1096,7 @@ def _extras_masks(tbl, extras: dict, ok: np.ndarray, inv: np.ndarray):
                         inv |= knonnull  # needed key absent in EVERY row
                         ok[:] = False
                         continue
-                    nc = tbl.column(need)
-                    if isinstance(nc, pa.ChunkedArray):
-                        nc = nc.combine_chunks()
-                    ok &= ~nc.is_null().to_numpy(zero_copy_only=False)
+                    ok &= ~_col_null(need)[1]
             else:  # ("schema", dep_plan)
                 res = _plan_masks(tbl, payload, len(ok))
                 if res is None:
@@ -1097,10 +1117,7 @@ def _extras_masks(tbl, extras: dict, ok: np.ndarray, inv: np.ndarray):
         try:
             counts = np.zeros(len(ok), dtype=np.int64)
             for cname in tbl.schema.names:
-                c = tbl.column(cname)
-                if isinstance(c, pa.ChunkedArray):
-                    c = c.combine_chunks()
-                counts += ~c.is_null().to_numpy(zero_copy_only=False)
+                counts += ~_col_null(cname)[1]
         except Exception:
             return None
         ncols = tbl.num_columns
@@ -1120,15 +1137,17 @@ def _extras_masks(tbl, extras: dict, ok: np.ndarray, inv: np.ndarray):
     for cname in tbl.schema.names:
         matched = [psub for rx, psub in patterns if rx.search(cname)]
         is_additional = cname not in known and not matched
-        pn_fails = pn is not None and _validate(cname, pn, "") is not None
         ap_applies = is_additional and ap is not None
-        if not (matched or pn_fails or ap_applies):
+        if pn is None and not (matched or ap_applies):
             continue
         try:
-            col = tbl.column(cname)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            colnull = col.is_null().to_numpy(zero_copy_only=False)
+            # inside the try: the plan-time probe makes a data-independent
+            # _validate crash unreachable, but keep per-name evaluation
+            # faulted to a batch fallback rather than a task crash anyway
+            pn_fails = pn is not None and _validate(cname, pn, "") is not None
+            if not (matched or pn_fails or ap_applies):
+                continue
+            col, colnull = _col_null(cname)
             nonnull = ~colnull
             if pn_fails or (ap_applies and ap is False):
                 inv |= nonnull

@@ -59,13 +59,12 @@ def test_plan_ineligible_or_required_walks(schema):
     plan = plan_screen(Schema(schema).data)
     if plan is None:
         return
-    # plans that exist must still never screen-valid a row whose verdict
-    # depends on absent-vs-null (covered by the soundness test below);
-    # non-tuple entries (the object-level extras slot) are not per-property
-    # flag tuples
-    assert all(
-        not entry[1] for entry in plan.values() if isinstance(entry, tuple)
-    ) or True
+    # schemas that DO compile must drive screen_batch without crashing and
+    # produce aligned masks; their verdict soundness is covered by the
+    # screen-vs-walk differentials and the hypothesis fuzz below
+    s = pd.Series([json.dumps({"k": 1})] * 3, dtype=object)
+    masks = screen_batch(s, plan)
+    assert masks is None or (len(masks[0]) == 3 and len(masks[1]) == 3)
 
 
 # per-JSON-type value pools: a batch picks ONE pool per field (pyarrow
@@ -1285,6 +1284,23 @@ def test_screen_min_max_properties():
         fast = _gate_rows(s, data, plan)
         slow = _gate_rows(s, data, None)
         pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_malformed_property_names_schema_falls_back():
+    """A propertyNames schema whose evaluation raises data-independently
+    (uncompilable pattern) must make the PLAN ineligible — the screen may
+    never crash a batch the walk would verdict normally.  (Rows that reach
+    the keyword make the walk itself raise, matching the reference's
+    behavior on malformed regexes — that path stays a raise.)"""
+    bad = {"type": "object", "required": ["k"],
+           "propertyNames": {"pattern": "("}}
+    data = Schema(bad).data
+    assert plan_screen(data) is None
+    # the walk verdicts rows failing `required` first without compiling
+    # the bad regex
+    assert _issue_record({"a": 1}, data) is not None
+    with pytest.raises(Exception):
+        _issue_record({"k": 1}, data)
 
 
 def test_cyclic_schema_plans_fall_back():
