@@ -161,12 +161,19 @@ def lsh_ann_pairs(
     literal arrays are a plan/codegen-size risk past ~64x64
     (_NATIVE_SIGNS_MAX).
 
-    The exploded bucket rows feed THREE plan branches (the size agg and
-    both self-join sides).  With a `cache_registry` they are repartitioned
-    on the bucket key and persisted so the key computation — in the kernel
-    path a pandas UDF over the whole corpus — runs ONCE and all branches
-    reuse one exchange (the same sharing candidate_pairs documents at
-    lsh.py); caller owns the unpersist.  With no registry the persist is
+    Embeddings are the WIDEST rows in the corpus (2-4 KB at dim 512+), so
+    no vector ever crosses the candidate-generation shuffles: the exploded
+    bucket rows carry only (id, table, bucket) — the key computation reads
+    `vec` map-side and projects it off before the exchange — candidate id
+    pairs come from the same one-exchange hash-agg + SHUFFLE_HASH survivor
+    join + collect_list nested-transform expansion as the MinHash path
+    (lsh.candidate_pairs), and the exact-cosine verify re-fetches vectors
+    for the (tiny) candidate set by two narrow id joins (the
+    verify.verify_jaccard_text pattern).  With a `cache_registry` the
+    bucket rows are repartitioned on the bucket key and persisted so the
+    key computation — in the kernel path a pandas UDF over the whole
+    corpus — runs ONCE and the size agg + collect_list branches reuse one
+    exchange; caller owns the unpersist.  With no registry the persist is
     skipped (no leaked caches in long-lived sessions) and the plan falls
     back to recomputation per branch."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -181,7 +188,7 @@ def lsh_ann_pairs(
         ])
         keys = signs_keys_udf(planes)(F.col("vec"))
     exploded = base.select(
-        "id", "vec", F.posexplode(keys).alias("table", "bucket")
+        "id", F.posexplode(keys).alias("table", "bucket")
     )
     if cache_registry is not None:
         par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -189,18 +196,39 @@ def lsh_ann_pairs(
         cache_registry.append(exploded)
     sizes = exploded.groupBy("table", "bucket").agg(F.count("*").alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= bucket_cap)).drop("n")
-    member = exploded.join(ok, ["table", "bucket"])
-    a, b = member.alias("a"), member.alias("b")
+    member = exploded.join(ok.hint("SHUFFLE_HASH"), ["table", "bucket"])
+    grouped = member.groupBy("table", "bucket").agg(
+        F.collect_list("id").alias("ids")
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    # narrow vector re-fetch for the exact-cosine verify: only candidate
+    # pairs (a tiny fraction of rows after banding + caps) pull vectors,
+    # and the corpus-side shuffles carry (id, vec) exactly once per side.
+    # Hash joins, not sort-merge: sorting the vector relation to fetch a
+    # few candidates would be pure overhead.
+    left = base.select(F.col("id").alias("src"), F.col("vec").alias("vec_src"))
+    right = base.select(F.col("id").alias("dst"), F.col("vec").alias("vec_dst"))
+    joined = pairs.hint("SHUFFLE_HASH").join(left, "src").join(
+        right.hint("SHUFFLE_HASH"), "dst"
+    )
     return (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("src"),
-            F.col("b.id").alias("dst"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        joined.withColumn(
+            "cos", F.round(cosine(F.col("vec_src"), F.col("vec_dst")), 6)
         )
         .filter(F.col("cos") >= min_cos)
-        .dropDuplicates(["src", "dst"])
+        .select("src", "dst", "cos")
     )
 
 

@@ -477,6 +477,87 @@ def test_signs_kernel_null_and_ragged_embeddings(spark):
     assert not any(900 <= a or 900 <= b for a, b in got)
 
 
+def test_lsh_ann_pairs_matches_self_join_shape(spark):
+    """Pair-set parity of the one-exchange collect_list expansion against
+    the classic bucket SELF-JOIN shape it replaced (round-5 restructure:
+    vectors no longer cross the candidate-generation shuffles — ids pair
+    first, vectors re-fetch narrowly for the cosine verify)."""
+    import jsonschema_jl_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(47)
+    dim = 48
+    base = rng.standard_normal((60, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    for j in range(10):
+        v = base[j] + rng.standard_normal(dim) * 0.003
+        rows.append((300 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n_planes, n_tables, min_cos = 8, 4, 0.5
+
+    got = {
+        (r.src, r.dst, r.cos)
+        for r in sim.lsh_ann_pairs(
+            df, dim=dim, n_planes=n_planes, n_tables=n_tables, min_cos=min_cos
+        ).collect()
+    }
+
+    # reference: the pre-round-5 two-sided membership self-join, inline
+    keys = F.array(*[
+        sim.signs_column(
+            F.col("vec"), sim._hyperplanes(dim, n_planes, t, 4242)
+        )
+        for t in range(n_tables)
+    ])
+    ref_base = df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    exploded = ref_base.select("id", "vec", F.posexplode(keys).alias("table", "bucket"))
+    sizes = exploded.groupBy("table", "bucket").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= 2000)).drop("n")
+    member = exploded.join(ok, ["table", "bucket"])
+    a, b = member.alias("a"), member.alias("b")
+    want = {
+        (r.src, r.dst, r.cos)
+        for r in a.join(b, ["table", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            F.round(sim.cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .dropDuplicates(["src", "dst"])
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_lsh_ann_pairs_no_vectors_in_candidate_shuffles(spark):
+    """The exploded bucket relation must not carry the embedding column —
+    the whole point of the round-5 restructure.  Assert structurally: the
+    optimized plan's Exchange nodes upstream of the pair expansion never
+    ship `vec`; only the two narrow verify joins touch vectors."""
+    rng = np.random.default_rng(53)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    reg: list = []
+    out = lsh_ann_pairs(df, dim=16, n_planes=6, n_tables=2,
+                        cache_registry=reg)
+    try:
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # the persisted/repartitioned bucket relation is (id, table, bucket):
+        # its output attribute list must not mention the vector column
+        seg = plan.split("InMemoryRelation ")[1]
+        cached_cols = seg[: seg.index("]")]
+        assert "vec" not in cached_cols, cached_cols
+        # and the collect_list aggregate pairs ids only
+        agg = next(
+            line for line in plan.splitlines() if "collect_list" in line
+        )
+        assert "vec" not in agg, agg
+    finally:
+        for c in reg:
+            c.unpersist()
+
+
 def test_lsh_ann_pairs_cache_registry(spark):
     """With a cache_registry the exploded bucket rows are persisted (the
     pandas-UDF key computation runs once, shared by the size agg and both
