@@ -46,29 +46,26 @@ def connected_components(
     per-round join/agg over the corpus-sized partition count makes each
     round scheduling-latency-bound — measured ~11s of near-constant CC tail
     at 48 partitions regardless of core count, i.e. pure Amdahl serial
-    fraction in the scaling ratio.  The override is applied around the loop
-    and restored after (session-conf reads happen at each action's
-    planning).  NOTE: this mutates the SESSION-global conf for the loop's
-    duration — it assumes a single-threaded driver (no concurrent queries
-    planned on the same SparkSession while CC iterates); concurrent planners
-    would silently pick up the edge-sized partition count.  For a shared
-    session, pass shuffle_partitions=None and pre-repartition the edges."""
+    fraction in the scaling ratio.  Scoping is PER-PLAN, not session conf:
+    the symmetrized edges are hash-repartitioned once on the join key and
+    the per-round aggregation input is explicitly repartitioned on `id`, so
+    every loop exchange runs at the edge-sized count while concurrent
+    queries planned on the same SparkSession keep the session's own
+    `spark.sql.shuffle.partitions` untouched.  (Earlier rounds mutated the
+    session conf around the loop; the explicit repartition retires that
+    single-threaded-driver caveat.)  The explicit pre-agg exchange carries
+    raw label messages (<= 2|E| + |V| fixed-width rows) instead of
+    map-side-combined partials — an acceptable trade at edge scale, where
+    the loop's cost is scheduling latency, not shuffle volume."""
     if max_iters < 1:
         # the loop must run at least once: with zero iterations the initial
         # lazy labels checkpoint would never materialize before
         # sym.unpersist(), so the caller's first action would recompute the
         # entire upstream edge cascade
         max_iters = 1
-    spark = edges.sparkSession
-    saved_par = None
-    if shuffle_partitions is not None:
-        saved_par = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        return _cc_min_label(edges, vertices, max_iters, checkpoint_fn)
-    finally:
-        if saved_par is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_par)
+    return _cc_min_label(
+        edges, vertices, max_iters, checkpoint_fn, shuffle_partitions
+    )
 
 
 def _cc_min_label(
@@ -76,10 +73,16 @@ def _cc_min_label(
     vertices: DataFrame | None,
     max_iters: int,
     checkpoint_fn: Callable[[DataFrame, int], DataFrame] | None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     ).distinct()
+    if shuffle_partitions is not None:
+        # hash-partition the symmetric edge list on the per-round join key at
+        # the edge-sized count; the persisted partitioning is reused by every
+        # iteration's join (no per-round exchange of the edge side)
+        sym = sym.repartition(shuffle_partitions, "u")
     # sym is re-joined EVERY iteration — materialize it once, or each round
     # re-runs the entire upstream candidate/verify cascade (at cluster scale
     # this is the P10 Iceberg edge-table write)
@@ -105,8 +108,15 @@ def _cc_min_label(
             sym.join(labels, sym.u == labels.id)
             .select(F.col("v").alias("id"), F.col("component"), F.lit(False).alias("is_old"))
         )
+        msgs = prop.unionByName(labels.withColumn("is_old", F.lit(True)))
+        if shuffle_partitions is not None:
+            # the one per-round exchange, sized to the edges: the groupBy
+            # below then aggregates in place (its required distribution is
+            # already satisfied), so no session-conf-sized shuffle appears
+            # anywhere in the loop
+            msgs = msgs.repartition(shuffle_partitions, "id")
         agg = (
-            prop.unionByName(labels.withColumn("is_old", F.lit(True)))
+            msgs
             .groupBy("id")
             .agg(
                 F.min("component").alias("component"),

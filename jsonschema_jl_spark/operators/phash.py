@@ -46,23 +46,43 @@ def phash_pairs(
 ) -> DataFrame:
     """Distinct (src, dst, hamming) pairs with Hamming(phash) <= radius.
 
-    With a cache_registry the exploded block rows are persisted so the
-    block-size count and the self-join share one computation (same
-    partial-agg-exchange reuse failure as lsh.candidate_pairs; see there);
-    the caller unpersists."""
+    ONE exchange of the block rows, ZERO sorts — the same shape as
+    lsh.candidate_pairs: hash-partition (id, ph, block, key) once, filter
+    to shared non-capped blocks with a SHUFFLE_HASH join against the tiny
+    survivor set, then collect_list + map-side nested-transform expansion
+    emits each pair WITH both phashes (the payload is one 8-byte long per
+    member, so carrying it through the list costs nothing), and the native
+    bit_count verify runs inside the same stage.  This replaces the
+    two-sided membership self-join, which paid an extra exchange of the
+    full membership on each side.
+
+    With a cache_registry the block rows are repartitioned on the block
+    key and persisted so the size count and the collect_list share one
+    exchange (same partial-agg-exchange reuse failure as
+    lsh.candidate_pairs; see there); the caller unpersists."""
     blocks = phash_blocks(df, id_col, phash_col, cfg)
     if cache_registry is not None:
-        blocks = blocks.persist()
+        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        blocks = blocks.repartition(par, "block", "key").persist()
         cache_registry.append(blocks)
     sizes = blocks.groupBy("block", "key").agg(F.count("*").alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= block_cap)).drop("n")
-    member = blocks.join(ok, ["block", "key"])
-    a, b = member.alias("a"), member.alias("b")
+    member = blocks.join(ok.hint("SHUFFLE_HASH"), ["block", "key"])
+    grouped = member.groupBy("block", "key").agg(
+        F.collect_list(F.struct("id", "ph")).alias("ms")
+    )
     return (
-        a.join(b, ["block", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("hamming", F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph"))))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) ->"
+                    " transform(slice(ms, i + 2, size(ms)), y -> struct("
+                    "least(x.id, y.id) AS src, greatest(x.id, y.id) AS dst,"
+                    " bit_count(x.ph ^ y.ph) AS hamming))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst", "p.hamming")
         .filter(F.col("hamming") <= F.lit(cfg.hamming_radius))
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), "hamming")
         .dropDuplicates(["src", "dst"])
     )

@@ -348,29 +348,57 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def ngram_token_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
     anchor_cap: int = 200,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing at least one token n-gram.
     (src, dst, shared_ngrams) — exact Jaccard can then verify.  n-grams are
-    md5-hex (cross-engine deterministic)."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    grams = df.select(
+    md5-hex (cross-engine deterministic).
+
+    Tokenization runs ONCE: the split sits under a Generate (explode of a
+    one-element array), which Catalyst cannot collapse into downstream
+    projections — the earlier formulation inlined the split expression into
+    both size() and slice() and leaned on codegen CSE across a lambda
+    boundary to dedup it.  Pair generation is the one-exchange
+    collect_list expansion (lsh.candidate_pairs shape) instead of the
+    two-sided membership self-join; the shared-gram count falls out of a
+    groupBy over the expanded pairs.  With a cache_registry the gram rows
+    are repartitioned on the gram key and persisted so the anchor-size
+    count and the collect_list share one exchange; the caller unpersists."""
+    toks_df = df.select(
         F.col(id_col).alias("id"),
+        # Generate barrier: one split per row, referenced twice downstream
+        F.explode(F.array(F.split(normalized_text(F.col(text_col)), " "))).alias("toks"),
+    )
+    grams = toks_df.select(
+        "id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split(regexp_replace(trim(lower({text_col})), '\\\\s+', ' '), ' ')) - {n - 1}, 1)),"
-                    f" i -> md5(concat_ws(' ', slice(split(regexp_replace(trim(lower({text_col})), '\\\\s+', ' '), ' '), i, {n}))))"
+                    f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i, {n}))))"
                 )
             )
         ).alias("g"),
     )
+    if cache_registry is not None:
+        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        grams = grams.repartition(par, "g").persist()
+        cache_registry.append(grams)
     sizes = grams.groupBy("g").agg(F.count("*").alias("cnt"))
     ok = sizes.filter((F.col("cnt") > 1) & (F.col("cnt") <= anchor_cap)).drop("cnt")
-    grams = grams.join(ok, "g")
-    a, b = grams.alias("a"), grams.alias("b")
+    grouped = grams.join(ok.hint("SHUFFLE_HASH"), "g").groupBy("g").agg(
+        F.collect_list("id").alias("ids")
+    )
     return (
-        a.join(b, "g")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count("*").alias("shared_ngrams"))
     )

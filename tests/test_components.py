@@ -94,8 +94,9 @@ def test_convergence_signature_distinguishes(spark):
 
 
 def test_shuffle_partitions_override_restored(spark):
-    """connected_components(shuffle_partitions=...) applies the override
-    only around the iteration and restores the session conf afterwards."""
+    """connected_components(shuffle_partitions=...) scopes the edge-sized
+    partition count to its own plans — the session conf is never touched
+    (round-5: explicit repartition replaced the conf mutation)."""
     before = spark.conf.get("spark.sql.shuffle.partitions")
     from jsonschema_jl_spark.operators.components import connected_components
 
@@ -104,3 +105,49 @@ def test_shuffle_partitions_override_restored(spark):
     rows = {(r.id, r.component) for r in out.collect()}
     assert rows == {("a", "a"), ("b", "a"), ("c", "a")}
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_shuffle_partitions_scoped_not_session_global(spark):
+    """A concurrent query planned MID-LOOP keeps the session's own
+    shuffle-partition count (the round-4 caveat this round retires), while
+    the loop's own per-round aggregation runs at the edge-sized count."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_jl_spark.operators.components import connected_components
+
+    session_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_par = 3
+    assert session_par != cc_par
+    seen: dict = {"concurrent": [], "loop": []}
+
+    def probing_cp(df, i):
+        # conf is untouched mid-loop...
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == session_par
+        # ...and a concurrent aggregation plans at the SESSION count
+        q = spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
+        qplan = q._jdf.queryExecution().executedPlan().toString()
+        seen["concurrent"] += re.findall(r"hashpartitioning\([^)]*?(\d+)\)", qplan)
+        # while the loop's own label aggregation is edge-sized
+        if i > 0:
+            lplan = df._jdf.queryExecution().executedPlan().toString()
+            seen["loop"] += re.findall(r"hashpartitioning\([^)]*?(\d+)\)", lplan)
+        return df.localCheckpoint(eager=False)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
+    )
+    out = connected_components(
+        edges, shuffle_partitions=cc_par, checkpoint_fn=probing_cp
+    )
+    comps = {(r.id, r.component) for r in out.collect()}
+    assert (1, 0) in comps and (40, 40) not in comps
+    assert seen["concurrent"] and all(
+        int(n) == session_par for n in seen["concurrent"]
+    ), seen["concurrent"]
+    # the lazy-checkpoint lineage still shows the ONE-TIME setup exchange
+    # (sym's distinct, legitimately session-sized); every other loop
+    # exchange — repartition + agg — must be edge-sized
+    counts = {int(n) for n in seen["loop"]}
+    assert cc_par in counts and counts <= {cc_par, session_par}, counts
