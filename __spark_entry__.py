@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from jsonschema_jl_spark.config import DedupConfig
-from jsonschema_jl_spark.gate.gate import apply_gate
+from jsonschema_jl_spark.gate.gate import apply_gate, gate_filter
 from jsonschema_jl_spark.operators import textops
 from jsonschema_jl_spark.operators.similarity import (
     cosine_topk,
@@ -88,6 +88,18 @@ _EVENTS_DYN_SCHEMA = {
 def q_gate_events_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_gate(_events(spark, sf_dir), _EVENTS_DYN_SCHEMA, json_col="props")
     return out.select("event_id", "isvalid")
+
+
+def q_gate_events_dynamic_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME dynamic gate verdict through the round-5 zero-Python variant
+    backend (gate/dynamic_native.py): try_parse_json + variant keyword
+    predicates in Catalyst, walk lane only for variant-refused rows.
+    Verdict-only by contract, so the query returns the kept event_ids."""
+    out = gate_filter(
+        _events(spark, sf_dir), _EVENTS_DYN_SCHEMA, json_col="props",
+        dynamic_native=True,
+    )
+    return out.select("event_id")
 
 
 _EVENTS_COMPOUND_SCHEMA = {
@@ -900,6 +912,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gate_events_dynamic": q_gate_events_dynamic,
+        "gate_events_dynamic_native": q_gate_events_dynamic_native,
         "gate_events_compound": q_gate_events_compound,
         "gate_part_typed": q_gate_part_typed,
         "gate_docs_typed": q_gate_docs_typed,
@@ -1157,6 +1170,12 @@ def _oracle_sql_dict() -> dict[str, str]:
                  (json_extract(props, '$.k') IS NOT NULL
                   AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 10 AND 90) AS isvalid
           FROM events
+        """,
+        "gate_events_dynamic_native": """
+          SELECT event_id
+          FROM events
+          WHERE json_extract(props, '$.k') IS NOT NULL
+            AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 10 AND 90
         """,
         "gate_part_typed": """
           SELECT p_partkey,

@@ -193,6 +193,43 @@ def run_pipeline(spark, path: str, deadline_main: float | None = None) -> tuple[
                 best, gm = dt, g
         timings["gate_dynamic_filter"] = best
         timings["gate_dynamic_screen_rate"] = gm.as_dict()["screen_rate"]
+        # round-5 zero-Python variant backend on the same shape (opt-in;
+        # the screen stays the CPU-optimal default — see gate_filter's
+        # docstring for the measured tradeoff)
+        timings["gate_dynamic_native"] = _min_of_2(
+            lambda: gate_filter(
+                ev, dyn_schema, json_col="props", dynamic_native=True
+            ).count()
+        )
+        # screened-combo shape (union type list, multipleOf, scalar oneOf,
+        # top-level anyOf/not — the round-4 screen extensions): regressions
+        # on the NEW keyword families are observable here, not just the
+        # flat shape (round-4 ask #6)
+        import __spark_entry__ as _entry
+
+        combo_schema = _entry._COMBO_SCHEMA
+        k_js = F.get_json_object("props", "$.k").cast("long")
+        obj = F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.lit('{"k": '), k_js.cast("string"), F.lit("}")),
+        ).otherwise(
+            F.concat(
+                F.lit('{"k": '), k_js.cast("string"),
+                F.lit(', "tag": "'), F.col("event_type"), F.lit('"}'),
+            )
+        )
+        evc = ev.withColumn("obj_json", obj)
+        apply_gate(evc, combo_schema, json_col="obj_json").filter("isvalid").count()
+        best, gm = None, None
+        for _ in range(2):
+            g = GateMetrics(spark)
+            t0 = time.time()
+            gate_filter(evc, combo_schema, json_col="obj_json", metrics=g).count()
+            dt = round(time.time() - t0, 2)
+            if best is None or dt < best:
+                best, gm = dt, g
+        timings["gate_dynamic_combo"] = best
+        timings["gate_dynamic_combo_screen_rate"] = gm.as_dict()["screen_rate"]
 
     # headline reps: probe-gated like the scaling workers.  A rep is CLEAN
     # when machine steal stayed <= 4% and the memcpy probe read >= 6 GB/s

@@ -1,0 +1,631 @@
+"""Native (zero-Python) fast path for the dynamic-JSON gate verdict.
+
+The dynamic gate's exact backend is a per-row dict walk, accelerated by the
+pyarrow columnar screen — both run in Python workers.  This module compiles
+a *fully screenable* flat object schema into pure Catalyst expressions over
+Spark 4's VariantType (`try_parse_json` + `variant_get` +
+`schema_of_variant`), so `gate_filter` on such schemas runs with NO Python
+stage at all: parse once per row (JVM), judge every keyword with codegen'd
+Column logic (the SURVEY §1.2 mode-b promise).
+
+Soundness model (mirrors gate/columnar.py, but row-level and two-sided by
+construction): the compiled verdict is EXACT for every row the variant
+reader accepts, because — unlike the pyarrow screen — variant preserves the
+JSON type per value (`schema_of_variant`: BIGINT / DECIMAL / DOUBLE /
+STRING / BOOLEAN / VOID / ARRAY< / OBJECT<), never infers timestamps from
+ISO-like strings, and distinguishes ABSENT (`variant_get` -> SQL NULL) from
+EXPLICIT JSON NULL (`is_variant_null`), which the screen cannot.  Rows the
+native path cannot judge are routed to the exact dict-walk UDF lane by a
+`refused` predicate:
+
+  * `try_parse_json` returned NULL for non-null text — malformed JSON (the
+    walk rejects it too, but with the reason detail) or variant-refused
+    input such as DUPLICATE KEYS, which `json.loads` accepts last-wins; the
+    two are indistinguishable natively, so both walk;
+  * a numeric value beyond float64's exact-integer range (|v| > 2^53) under
+    a comparison keyword (bounds / multipleOf / enum / const): the walk
+    compares Python ints exactly, `try_variant_get(..., 'double')` cannot.
+    DOUBLE-typed values are exempt — `json.loads` parsed the same literal
+    to the same float64.
+
+Behaviors this relies on were probed on PySpark 4.1.2 and are pinned by
+tests/test_gate_dynamic_native.py: integer literals -> BIGINT, decimal
+literals -> DECIMAL(p,s) with trailing zeros trimmed, >38-digit /
+exponent-overflow literals -> DOUBLE (1e400 -> Infinity), `'string'` casts
+of non-strings produce their JSON text (so every string check is gated on
+`schema_of_variant = 'STRING'`), and `F.length` counts codepoints like
+Python `len`.
+
+Admission (plan_dynamic) is deliberately a SUBSET of the columnar screen's:
+flat object schemas — type/required/properties at the top, scalar keyword
+checks (type incl. union lists, enum/const over scalars, bounds,
+multipleOf, min/maxLength, dialect-safe pattern), scalar-level AND
+top-level allOf/anyOf/oneOf/not/if-then-else of such schemas (native
+member verdicts are exact, so combinators compose directly — simpler than
+the screen's one-sided mask algebra, and the required-vs-explicit-null
+rows the screen must walk are judged natively here).  Everything else
+falls back to the screen+walk UDF path exactly as before.
+
+Measured tradeoff (100k-row events shape, 32 partitions, local[32]): the
+opt-in native path runs 0.66 s (flat) / 1.12 s (combo) vs the default
+screen's 0.43 s / 0.61 s — JVM variant parse is ~3 us/row/core vs
+~1.5 us/row/core for pyarrow's read_json, and the verdict's second scan
+(to route refused rows) adds a parse.  JSON tokenization is the floor for
+ANY dynamic gate; the native path's value is zero Python workers (no IPC,
+no worker memory, no fork hazards) and exact absent-vs-null judgment, not
+raw CPU.
+
+Reference parity: keyword semantics re-express src/validation.jl:488-663
+(type lattice incl. 1.0-is-integer, bool-is-not-number enum, isapprox
+multipleOf, codepoint lengths, unanchored pattern) — the same subset the
+typed-column compiler (gate/compiler.py) already translates; here the
+types come from the variant per row instead of the DataFrame schema.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from jsonschema_jl_spark.gate.compiler import _multiple_of_native
+
+_MAX_EXACT = 2 ** 53
+
+# property names must be safe to splice into a variant_get JSON path
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+# regex constructs with identical semantics in Python `re` (the walk) and
+# Java `Pattern` (rlike): plain literals, ., *, +, ?, |, ^, $, grouping,
+# and simple character classes.  No backslash escapes, no braces
+# (counted repetition {m,n} agrees too but costs nothing to exclude), no
+# inline flags — anything fancier walks.
+_SAFE_PATTERN = re.compile(r"^[A-Za-z0-9_ .*+?()|^$\[\]\-]*$")
+
+_SCALAR_TYPES = {"integer", "number", "string", "boolean"}
+_UNION_TYPES = {"integer", "number", "string", "boolean", "null", "array", "object"}
+_ALLOWED_TOP = {"type", "required", "properties"}
+_ALLOWED_KW = {
+    "type", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "minLength", "maxLength", "pattern", "enum", "const", "multipleOf",
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+}
+_COMBINATORS = ("allOf", "anyOf", "oneOf", "not", "if")
+
+
+def _is_exact_number(v: Any) -> bool:
+    return (
+        isinstance(v, (int, float))
+        and not isinstance(v, bool)
+        and abs(v) <= _MAX_EXACT
+    )
+
+
+def _enum_of(sub: dict) -> list | None:
+    return sub.get("enum", [sub["const"]] if "const" in sub else None)
+
+
+def _admit_scalar(sub: Any) -> bool:
+    """Can this scalar subschema be judged entirely by variant expressions?
+    Mirrors columnar._plan_scalar minus what Columns can't express exactly
+    (regex dialects beyond the safe subset)."""
+    if not isinstance(sub, dict):
+        return False
+    if set(sub) - _ALLOWED_KW:
+        return False
+    if "enum" in sub and "const" in sub:
+        return False  # both must hold; _enum_of collapses to enum alone
+    t = sub.get("type")
+    if t is not None:
+        if isinstance(t, str):
+            if t not in _SCALAR_TYPES and t != "null":
+                return False
+        elif isinstance(t, list):
+            if not t or not all(isinstance(x, str) and x in _UNION_TYPES for x in t):
+                return False
+        else:
+            return False
+    for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+        if kw in sub and not _is_exact_number(sub[kw]):
+            return False  # incl. draft-4 bool exclusive forms -> walk
+    if "multipleOf" in sub and not _is_exact_number(sub["multipleOf"]):
+        return False
+    for kw in ("minLength", "maxLength"):
+        if kw in sub and (isinstance(sub[kw], bool) or not isinstance(sub[kw], int)):
+            return False
+    if "pattern" in sub:
+        p = sub["pattern"]
+        if not isinstance(p, str) or not _SAFE_PATTERN.match(p):
+            return False
+        try:
+            re.compile(p)
+        except re.error:
+            return False
+    allowed = _enum_of(sub)
+    if allowed is not None:
+        if not isinstance(allowed, list):
+            return False
+        for e in allowed:
+            if isinstance(e, (list, dict)):
+                return False
+            if isinstance(e, (int, float)) and not isinstance(e, bool) \
+                    and not _is_exact_number(e):
+                return False
+    for kw in ("allOf", "anyOf", "oneOf"):
+        if kw in sub:
+            members = sub[kw]
+            if not isinstance(members, list) or not members:
+                return False
+            if not all(_admit_scalar(m) for m in members):
+                return False
+    if "not" in sub and not _admit_scalar(sub["not"]):
+        return False
+    for kw in ("if", "then", "else"):
+        if kw in sub and not _admit_scalar(sub[kw]):
+            return False
+    return True
+
+
+def _has_numeric_compare(sub: dict) -> bool:
+    """Does any keyword in this subschema tree compare numeric VALUES?
+    Determines the huge-integer refusal guard."""
+    if any(k in sub for k in (
+        "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf"
+    )):
+        return True
+    allowed = _enum_of(sub)
+    if allowed is not None and any(
+        isinstance(e, (int, float)) and not isinstance(e, bool) for e in allowed
+    ):
+        return True
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for m in sub.get(kw, []) if isinstance(sub.get(kw), list) else []:
+            if isinstance(m, dict) and _has_numeric_compare(m):
+                return True
+    for kw in ("not", "if", "then", "else"):
+        m = sub.get(kw)
+        if isinstance(m, dict) and _has_numeric_compare(m):
+            return True
+    return False
+
+
+_TOP_COMBINATORS = {"allOf", "anyOf", "oneOf", "not", "if", "then", "else"}
+
+
+def _admit_part(part: Any) -> dict | None:
+    """One object-schema member (the base or a combinator member):
+    {props, required, has_type} when natively judgeable, else None."""
+    if not isinstance(part, dict):
+        return None
+    if set(part) - _ALLOWED_TOP:
+        return None
+    if "type" in part and part["type"] != "object":
+        return None
+    req = part.get("required", [])
+    if not isinstance(req, list) or not all(
+        isinstance(r, str) and _NAME_RE.match(r) for r in req
+    ):
+        return None
+    props = part.get("properties", {})
+    if not isinstance(props, dict):
+        return None
+    for name, sub in props.items():
+        if not _NAME_RE.match(name) or not _admit_scalar(sub):
+            return None
+    return {"props": dict(props), "required": list(req),
+            "has_type": "type" in part}
+
+
+def plan_dynamic(schema_data: Any) -> dict | None:
+    """Admission for the whole schema: a screenable object base plus
+    optional TOP-LEVEL combinators of such object schemas (mirroring
+    columnar.plan_screen_conj, but simpler — native member verdicts are
+    exact, not one-sided masks, so anyOf/oneOf/not/ite combine directly).
+    Returns {conj, ops, names, null_doc_valid, nonobj_valid} or None."""
+    try:
+        if not isinstance(schema_data, dict):
+            return None
+        if set(schema_data) - _ALLOWED_TOP - _TOP_COMBINATORS:
+            return None
+        base = {k: v for k, v in schema_data.items() if k in _ALLOWED_TOP}
+        conj = [_admit_part(base)]
+        members = schema_data.get("allOf", [])
+        if "allOf" in schema_data:
+            if not isinstance(members, list) or not members:
+                return None
+            conj += [_admit_part(m) for m in members]
+        if any(p is None for p in conj):
+            return None
+        ops: list[tuple] = []
+        for kw in ("anyOf", "oneOf"):
+            if kw not in schema_data:
+                continue
+            mem = schema_data[kw]
+            if not isinstance(mem, list) or not mem:
+                return None
+            parts = [_admit_part(m) for m in mem]
+            if any(p is None for p in parts):
+                return None
+            ops.append((kw, parts))
+        if "not" in schema_data:
+            p = _admit_part(schema_data["not"])
+            if p is None:
+                return None
+            ops.append(("not", p))
+        if "if" in schema_data:
+            ite: list = []
+            for kw in ("if", "then", "else"):
+                if kw not in schema_data:
+                    ite.append(None)
+                    continue
+                p = _admit_part(schema_data[kw])
+                if p is None:
+                    return None
+                ite.append(p)
+            ops.append(("ite", ite[0], ite[1], ite[2]))
+        # then/else without if are ignored by the walk, and by us
+
+        names: set[str] = set()
+        for p in conj:
+            names |= set(p["props"]) | set(p["required"])
+        for op in ops:
+            parts = (
+                op[1] if op[0] in ("anyOf", "oneOf")
+                else [op[1]] if op[0] == "not"
+                else [x for x in op[1:] if x is not None]
+            )
+            for p in parts:
+                names |= set(p["props"]) | set(p["required"])
+
+        # a NON-OBJECT instance's verdict per member depends only on the
+        # member's `type` keyword (required/properties no-op on non-dicts),
+        # so the combined non-object verdict is static
+        def nonobj(p: dict) -> bool:
+            return not p["has_type"]
+
+        nonobj_valid = all(nonobj(p) for p in conj)
+        for op in ops:
+            if op[0] == "anyOf":
+                nonobj_valid &= any(nonobj(p) for p in op[1])
+            elif op[0] == "oneOf":
+                nonobj_valid &= sum(nonobj(p) for p in op[1]) == 1
+            elif op[0] == "not":
+                nonobj_valid &= not nonobj(op[1])
+            else:
+                _, p_if, p_then, p_else = op
+                branch = p_then if nonobj(p_if) else p_else
+                if branch is not None:
+                    nonobj_valid &= nonobj(branch)
+
+        return {
+            "conj": conj,
+            "ops": ops,
+            "names": sorted(names),
+            "null_doc_valid": _null_instance_valid(schema_data),
+            "nonobj_valid": nonobj_valid,
+        }
+    except RecursionError:
+        return None  # cyclic schema: walk (raises the documented error)
+
+
+def _null_instance_valid(schema_data: Any) -> bool:
+    """Walk verdict for the Python-None instance, computed at plan time
+    (covers SQL-NULL json text and the whole-doc `null` literal)."""
+    from jsonschema_jl_spark.gate.validator import _validate
+
+    return _validate(None, schema_data, "") is None
+
+
+class _Ctx:
+    """Per-property value columns.  Materialized ONCE per row via the
+    extraction struct (see build_extract_struct) — the verdict expression
+    references each many times, and without materialization every
+    reference re-runs the variant path-get + cast (CodegenFallback, no
+    subexpression elimination): measured ~16 variant ops/row on the flat
+    bench schema vs 6 with the struct."""
+
+    __slots__ = ("pt", "dbl", "sstr", "bv", "absent", "jnull")
+
+    def __init__(self, pt, dbl, sstr, bv, absent, jnull):
+        self.pt = pt
+        self.dbl = dbl
+        self.sstr = sstr
+        self.bv = bv
+        self.absent = absent
+        self.jnull = jnull
+
+
+def build_extract_struct(plan: dict, v: Column) -> Column:
+    """One struct Column holding every variant extraction the verdict needs:
+    doc-level type + per-property (pt, dbl, sstr, bv, absent, jnull).
+    Evaluated once per row under a Generate barrier; the verdict then reads
+    plain struct fields."""
+    names = plan["names"]
+    fields = [
+        v.isNull().alias("vnull"),
+        F.schema_of_variant(v).alias("doc_t"),
+    ]
+    for i, name in enumerate(names):
+        path = f"$.{name}"
+        pv = F.variant_get(v, path, "variant")
+        fields += [
+            F.schema_of_variant(pv).alias(f"p{i}_pt"),
+            F.try_variant_get(v, path, "double").alias(f"p{i}_dbl"),
+            F.try_variant_get(v, path, "string").alias(f"p{i}_str"),
+            F.try_variant_get(v, path, "boolean").alias(f"p{i}_bv"),
+            pv.isNull().alias(f"p{i}_absent"),
+            F.is_variant_null(pv).alias(f"p{i}_jnull"),
+        ]
+    return F.struct(*fields)
+
+
+def _type_pred(ctx: _Ctx, want: str) -> Column:
+    """Non-null boolean: a PRESENT (non-JSON-null) value has JSON type
+    `want`.  Mirrors is_json_type (src/validation.jl:488-500)."""
+    is_num = (
+        (ctx.pt == "BIGINT") | ctx.pt.startswith("DECIMAL(") | (ctx.pt == "DOUBLE")
+    )
+    if want == "string":
+        return ctx.pt == "STRING"
+    if want == "boolean":
+        return ctx.pt == "BOOLEAN"
+    if want == "number":
+        return is_num
+    if want == "integer":
+        # float with integral value counts as integer; Infinity does not
+        return (ctx.pt == "BIGINT") | (
+            is_num
+            & (F.abs(ctx.dbl) != F.lit(float("inf")))
+            & (ctx.dbl == F.floor(ctx.dbl))
+        )
+    if want == "null":
+        return F.lit(False)  # present branch excludes JSON null
+    if want == "array":
+        return ctx.pt.startswith("ARRAY<")
+    if want == "object":
+        return ctx.pt.startswith("OBJECT<")
+    return F.lit(False)
+
+
+def _valid_present(sub: dict, ctx: _Ctx) -> Column:
+    """Non-null boolean Column: a PRESENT non-null value satisfies `sub`.
+    Null-safety: every term is guarded so false-dominant AND / true-dominant
+    OR never see a floating NULL (category guards short-circuit the casts
+    that could be NULL)."""
+    is_num = (
+        (ctx.pt == "BIGINT") | ctx.pt.startswith("DECIMAL(") | (ctx.pt == "DOUBLE")
+    )
+    is_str = ctx.pt == "STRING"
+    conds: list[Column] = []
+
+    t = sub.get("type")
+    if t is not None:
+        wants = [t] if isinstance(t, str) else list(t)
+        ok = None
+        for w in wants:
+            c = _type_pred(ctx, w)
+            ok = c if ok is None else (ok | c)
+        conds.append(ok)
+
+    if "minimum" in sub:
+        conds.append(~is_num | (ctx.dbl >= F.lit(float(sub["minimum"]))))
+    if "maximum" in sub:
+        conds.append(~is_num | (ctx.dbl <= F.lit(float(sub["maximum"]))))
+    if "exclusiveMinimum" in sub:
+        conds.append(~is_num | (ctx.dbl > F.lit(float(sub["exclusiveMinimum"]))))
+    if "exclusiveMaximum" in sub:
+        conds.append(~is_num | (ctx.dbl < F.lit(float(sub["exclusiveMaximum"]))))
+    if "multipleOf" in sub:
+        conds.append(~is_num | _multiple_of_native(ctx.dbl, sub["multipleOf"]))
+    if "minLength" in sub:
+        conds.append(~is_str | (F.length(ctx.sstr) >= F.lit(sub["minLength"])))
+    if "maxLength" in sub:
+        conds.append(~is_str | (F.length(ctx.sstr) <= F.lit(sub["maxLength"])))
+    if "pattern" in sub:
+        conds.append(~is_str | ctx.sstr.rlike(sub["pattern"]))
+
+    allowed = _enum_of(sub)
+    if allowed is not None:
+        terms: list[Column] = []
+        strs = [e for e in allowed if isinstance(e, str)]
+        nums = [
+            float(e) for e in allowed
+            if isinstance(e, (int, float)) and not isinstance(e, bool)
+        ]
+        bools = [e for e in allowed if isinstance(e, bool)]
+        if strs:
+            terms.append(is_str & ctx.sstr.isin(*strs))
+        if nums:
+            terms.append(is_num & ctx.dbl.isin(*nums))
+        if bools:
+            bp = None
+            for b in bools:
+                c = ctx.bv == F.lit(b)
+                bp = c if bp is None else (bp | c)
+            terms.append((ctx.pt == "BOOLEAN") & bp)
+        # None entries never match a PRESENT value; array/object entries
+        # are rejected at admission
+        ok = None
+        for term in terms:
+            ok = term if ok is None else (ok | term)
+        conds.append(F.lit(False) if ok is None else ok)
+
+    if "allOf" in sub:
+        for m in sub["allOf"]:
+            conds.append(_valid_present(m, ctx))
+    if "anyOf" in sub:
+        ok = None
+        for m in sub["anyOf"]:
+            c = _valid_present(m, ctx)
+            ok = c if ok is None else (ok | c)
+        conds.append(ok)
+    if "oneOf" in sub:
+        cnt = None
+        for m in sub["oneOf"]:
+            c = _valid_present(m, ctx).cast("int")
+            cnt = c if cnt is None else (cnt + c)
+        conds.append(cnt == F.lit(1))
+    if "not" in sub:
+        conds.append(~_valid_present(sub["not"], ctx))
+    if "if" in sub:
+        b_if = _valid_present(sub["if"], ctx)
+        then_ok = _valid_present(sub["then"], ctx) if "then" in sub else F.lit(True)
+        else_ok = _valid_present(sub["else"], ctx) if "else" in sub else F.lit(True)
+        conds.append(F.when(b_if, then_ok).otherwise(else_ok))
+
+    out = None
+    for c in conds:
+        out = c if out is None else (out & c)
+    return F.lit(True) if out is None else out
+
+
+def build_gate_columns(
+    plan: dict, js: Column, e: Column
+) -> tuple[Column, Column]:
+    """(valid, refused) non-null boolean Columns over json text `js` and the
+    materialized extraction struct `e` (build_extract_struct output behind a
+    Generate barrier).  `refused` rows carry no native verdict and must run
+    the exact walk; `valid` is meaningful only where ~refused."""
+    vnull = e["vnull"]
+    doc_type = e["doc_t"]
+    is_obj = doc_type.startswith("OBJECT<")
+    names = plan["names"]
+    ctxs = {
+        name: _Ctx(
+            e[f"p{i}_pt"], e[f"p{i}_dbl"], e[f"p{i}_str"], e[f"p{i}_bv"],
+            e[f"p{i}_absent"], e[f"p{i}_jnull"],
+        )
+        for i, name in enumerate(names)
+    }
+
+    refuse: Column = js.isNotNull() & vnull
+    seen_numeric: set[str] = set()
+
+    def part_ok(part: dict) -> Column:
+        """Object-branch verdict of ONE member; also accumulates the
+        huge-integer refusal guards for its numeric-compare properties."""
+        nonlocal refuse
+        prop_ok: Column | None = None
+        req_set = set(part["required"])
+        for name in sorted(set(part["props"]) | req_set):
+            ctx = ctxs[name]
+            sub = part["props"].get(name)
+            this = None
+            if name in req_set:
+                this = ~ctx.absent
+            if sub:
+                null_ok = _null_instance_valid(sub)
+                p = (
+                    F.when(ctx.absent, F.lit(True))
+                    .when(ctx.jnull, F.lit(null_ok))
+                    .otherwise(_valid_present(sub, ctx))
+                )
+                this = p if this is None else (this & p)
+                if name not in seen_numeric and _has_numeric_compare(sub):
+                    seen_numeric.add(name)
+                    present = ~ctx.absent & ~ctx.jnull
+                    huge = (
+                        present
+                        & F.coalesce(
+                            F.abs(ctx.dbl) > F.lit(float(_MAX_EXACT)),
+                            F.lit(False),
+                        )
+                        & (ctx.pt != "DOUBLE")
+                    )
+                    refuse = refuse | huge
+            if this is not None:
+                prop_ok = this if prop_ok is None else (prop_ok & this)
+        return F.lit(True) if prop_ok is None else prop_ok
+
+    obj_ok: Column | None = None
+    for part in plan["conj"]:
+        c = part_ok(part)
+        obj_ok = c if obj_ok is None else (obj_ok & c)
+    for op in plan["ops"]:
+        kind = op[0]
+        if kind in ("anyOf", "oneOf"):
+            if kind == "anyOf":
+                c = None
+                for p in op[1]:
+                    m = part_ok(p)
+                    c = m if c is None else (c | m)
+            else:
+                cnt = None
+                for p in op[1]:
+                    m = part_ok(p).cast("int")
+                    cnt = m if cnt is None else (cnt + m)
+                c = cnt == F.lit(1)
+        elif kind == "not":
+            c = ~part_ok(op[1])
+        else:  # ("ite", if, then, else)
+            _, p_if, p_then, p_else = op
+            then_ok = part_ok(p_then) if p_then is not None else F.lit(True)
+            else_ok = part_ok(p_else) if p_else is not None else F.lit(True)
+            c = F.when(part_ok(p_if), then_ok).otherwise(else_ok)
+        obj_ok = c if obj_ok is None else (obj_ok & c)
+
+    valid = (
+        F.when(js.isNull(), F.lit(plan["null_doc_valid"]))
+        .when(vnull, F.lit(False))   # malformed (dup-key rows refused)
+        .when(~is_obj, F.when(doc_type == "VOID",
+                              F.lit(plan["null_doc_valid"]))
+                       .otherwise(F.lit(plan["nonobj_valid"])))
+        .otherwise(F.lit(True) if obj_ok is None else obj_ok)
+    )
+    return valid, refuse
+
+
+def gate_filter_native(
+    df: DataFrame, plan: dict, json_col: str, walk_filter,
+) -> DataFrame:
+    """Hybrid verdict-only filter: native Catalyst verdict for every row the
+    variant reader accepts; `walk_filter(refused_df)` (the existing
+    screen+walk UDF gate) handles the refused minority.  The source is
+    scanned by both branches, but the walk branch filters to refused rows
+    BEFORE its Python stage — at a typical corpus (no duplicate-key JSON,
+    numbers within 2^53) it is empty and its Python stage never runs."""
+    tmpv = "__gate_variant"
+    tmpe = "__gate_extract"
+    pin = "__gate_json_pinned"
+    # TWO Generate barriers (explode of a one-element array each):
+    #   1. materialize the parsed variant ONCE per row — a plain withColumn
+    #      would collapse into the downstream filter
+    #      (filter-through-project substitution), inlining try_parse_json
+    #      at EVERY variant_get reference: measured 8x the parse cost at
+    #      100k rows.  Variant expressions are CodegenFallback, so
+    #      subexpression elimination does not rescue it;
+    #   2. materialize the per-property extraction struct (path-gets +
+    #      casts) ONCE — the verdict boolean references pt/dbl/etc. many
+    #      times, and each reference would otherwise re-traverse the
+    #      variant binary (~16 variant ops/row vs 6 on the flat bench
+    #      schema).
+    # Downstream expressions reference the generated attributes, which
+    # cannot be pushed below their Generate.
+    parsed = df.select(
+        "*", F.explode(F.array(F.try_parse_json(F.col(json_col)))).alias(tmpv)
+    )
+    extracted = parsed.select(
+        "*",
+        F.explode(F.array(build_extract_struct(plan, F.col(tmpv)))).alias(tmpe),
+    ).drop(tmpv)
+    valid, refused = build_gate_columns(plan, F.col(json_col), F.col(tmpe))
+    native = extracted.filter(~refused).filter(valid).drop(tmpe)
+    # the walk lane's UDF input is PINNED to the extraction attribute: the
+    # expression is always exactly the original JSON text (concat with a
+    # zero-width slice of the doc-type field — '' for non-null, coalesced
+    # to '' for null), but because it REFERENCES the Generate output,
+    # neither the ArrowEvalPython node nor its filter can be pushed below
+    # the `refused` filter.  Without the pin, Catalyst pushes the UDF
+    # (whose input is just the text column) all the way to the scan,
+    # running Python over the WHOLE corpus — observed in the physical
+    # plan, defeating the fast path entirely.
+    pinned = F.concat(
+        F.col(json_col),
+        F.coalesce(F.substring(F.col(tmpe)["doc_t"], 1, 0), F.lit("")),
+    )
+    walked = walk_filter(
+        extracted.filter(refused).withColumn(pin, pinned).drop(tmpe), pin
+    ).drop(pin)
+    return native.unionByName(walked)

@@ -253,12 +253,43 @@ def gate_filter(
     schema: Schema | dict | bool | str,
     json_col: str | None = None,
     metrics: GateMetrics | None = None,
+    dynamic_native: bool = False,
 ) -> DataFrame:
     """Keep only valid rows.  Native schemas become plain pushdown-capable
     predicates; residual schemas get a native necessary-condition prefilter
-    before the pandas-UDF verdict."""
+    before the pandas-UDF verdict.
+
+    Dynamic mode (`json_col`): `dynamic_native=True` opts into the
+    zero-Python variant backend (gate/dynamic_native.py) for flat scalar
+    object schemas — `try_parse_json` + variant keyword predicates entirely
+    in Catalyst, with only variant-refused rows (malformed / duplicate-key
+    JSON, >2^53 integers under comparisons) routed to the exact walk UDF.
+    It is an OPT-IN, not the default, on measurement: JVM variant parse
+    runs ~3 us/row/core vs ~1.5 us/row/core for the pyarrow screen's
+    simdjson-class read_json (0.66 s vs 0.43 s on the 100k-row bench
+    shape, 32 partitions), so the screen path is CPU-optimal whenever it
+    covers the schema; the variant path is the choice when Python workers
+    are unwanted (no IPC, no python worker memory, plan composability) and
+    is the only dynamic backend that judges absent-vs-null exactly."""
     if not isinstance(schema, Schema):
         schema = Schema(schema)
+    if json_col is not None and dynamic_native:
+        from jsonschema_jl_spark.gate.dynamic_native import (
+            gate_filter_native,
+            plan_dynamic,
+        )
+
+        plan = plan_dynamic(schema.data)
+        if plan is not None:
+            sch = schema
+
+            def walk_filter(sub_df: DataFrame, walk_col: str) -> DataFrame:
+                return gate_filter(
+                    sub_df, sch, json_col=walk_col, metrics=metrics,
+                    dynamic_native=False,
+                )
+
+            return gate_filter_native(df, plan, json_col, walk_filter)
     if json_col is None:
         try:
             checks = compile_native_checks(schema, df.schema)
