@@ -214,6 +214,128 @@ def _count_int(v: Any) -> bool:
     return isinstance(v, int) and not isinstance(v, bool)
 
 
+def _deep_entry_ok(e: Any) -> bool:
+    """Is a container enum/const entry usable for canonical-key screening?
+    Numbers must sit inside the float64-exact range (the canonical key
+    encodes numerics as float), keys must be strings."""
+    if isinstance(e, bool) or e is None or isinstance(e, str):
+        return True
+    if isinstance(e, (int, float)):
+        return abs(e) <= _MAX_EXACT
+    if isinstance(e, list):
+        return all(_deep_entry_ok(x) for x in e)
+    if isinstance(e, dict):
+        return all(
+            isinstance(k, str) and _deep_entry_ok(v) for k, v in e.items()
+        )
+    return False
+
+
+def _plan_deep_enum(sub: dict):
+    """Property-level deep-equality enum/const plan (round-5 ask #7): the
+    subschema's enum (or const) contains array/object entries, which the
+    scalar kernel cannot screen — but a parsed cell's canonical JSON key
+    (validator._canon_key) compares exactly against the entries' keys.
+    Admitted only for {type?, enum|const} subschemas; any other sibling
+    keyword keeps the property on the walk.  Returns ("deep_enum",
+    {"keys", "types"}) or _INELIGIBLE."""
+    allowed = _enum_of(sub)
+    if allowed is None or not isinstance(allowed, list):
+        return _INELIGIBLE
+    if not any(isinstance(e, (list, dict)) for e in allowed):
+        return _INELIGIBLE  # pure-scalar enums: the scalar kernel's job
+    if set(sub) - {"type", "enum", "const"}:
+        return _INELIGIBLE
+    if "enum" in sub and "const" in sub:
+        return _INELIGIBLE
+    t = sub.get("type")
+    types = None
+    if t is not None:
+        types = [t] if isinstance(t, str) else t
+        if not isinstance(types, list) or not types or not all(
+            isinstance(x, str) and x in _UNION_TYPES for x in types
+        ):
+            return _INELIGIBLE
+    if not all(_deep_entry_ok(e) for e in allowed):
+        return _INELIGIBLE
+    from jsonschema_jl_spark.gate.validator import _canon_key
+
+    return ("deep_enum", {
+        "keys": frozenset(_canon_key(e) for e in allowed),
+        "types": types,
+    })
+
+
+def _deep_value_ambiguous(v: Any) -> bool:
+    """Must this parsed cell walk?  A dict value of None ANYWHERE is
+    absent-OR-explicit-null (pyarrow struct columns carry the union of keys
+    across rows), and an int beyond 2^53 would collide with a distinct
+    entry after the canonical key's float encoding.  Floats of any
+    magnitude are fine — the walk's json_equal compares the same float64."""
+    if isinstance(v, bool) or v is None or isinstance(v, str):
+        return False
+    if isinstance(v, float):
+        return False
+    if isinstance(v, int):
+        return abs(v) > _MAX_EXACT
+    if isinstance(v, list):
+        return any(_deep_value_ambiguous(x) for x in v)
+    if isinstance(v, dict):
+        return any(x is None or _deep_value_ambiguous(x) for x in v.values())
+    return True  # unexpected parse (Decimal, bytes, ...): walk
+
+
+def _has_temporal(t) -> bool:
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _has_temporal(t.value_type)
+    if pa.types.is_struct(t):
+        return any(_has_temporal(t.field(i).type) for i in range(t.num_fields))
+    return False
+
+
+def _deep_enum_masks(
+    arr, spec: dict, nullm: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(bad, ambiguous) for a deep-equality enum/const property over ANY
+    column type.  Cells round-trip through to_pylist and compare by
+    canonical key — exact json_equal semantics (bool tagged apart from
+    number, 0 == 0.0, deep array/object equality).  None -> batch fallback
+    (temporal inference anywhere in the type: the JSON value was a string,
+    unjudgeable from the parsed column)."""
+    import pyarrow as pa
+
+    from jsonschema_jl_spark.gate.validator import _canon_key, is_json_type
+
+    m = len(arr)
+    zeros = np.zeros(m, dtype=bool)
+    t = arr.type
+    if pa.types.is_null(t):
+        return zeros, zeros.copy()
+    if _has_temporal(t):
+        return None
+    present = ~nullm
+    vals = arr.to_pylist()
+    bad = np.zeros(m, dtype=bool)
+    amb = np.zeros(m, dtype=bool)
+    keys = spec["keys"]
+    types = spec["types"]
+    for i in np.flatnonzero(present):
+        v = vals[i]
+        if _deep_value_ambiguous(v):
+            amb[i] = True
+            continue
+        if types is not None and not any(is_json_type(v, w) for w in types):
+            bad[i] = True
+            continue
+        if _canon_key(v) not in keys:
+            bad[i] = True
+    return bad, amb
+
+
 # sentinel distinguishing "not screenable" from legitimate None specs
 _INELIGIBLE = object()
 
@@ -338,7 +460,13 @@ def _plan_screen_impl(schema_data: Any) -> dict | None:
             return None
         t = sub.get("type")
         extra = None
-        if t == "array":
+        deep = _plan_deep_enum(sub)
+        if deep is not _INELIGIBLE:
+            # enum/const with array/object entries: canonical-key screening
+            # (takes precedence over the type-shaped dispatch — the type
+            # check folds into the deep-enum kernel)
+            extra = deep
+        elif t == "array":
             spec = _plan_array_spec(sub, deep=True)
             if spec is _INELIGIBLE:
                 return None
@@ -1006,6 +1134,11 @@ def _plan_masks(
                 if bad is None:
                     return None
                 amb = None
+            elif extra[0] == "deep_enum":
+                res = _deep_enum_masks(arr, extra[1], nullm)
+                if res is None:
+                    return None
+                bad, amb = res
             elif extra[0] == "array":
                 res = _array_masks(arr, sub, nullm=nullm, items_spec=extra[1])
                 if res is None:

@@ -1531,3 +1531,117 @@ def test_screen_soundness_hypothesis(case):
         assert _issue_record(rows[i], data) is None, (schema, rows[i])
     for i in np.flatnonzero(invalid):
         assert _issue_record(rows[i], data) is not None, (schema, rows[i])
+
+
+# ---------------------------------------------------------------------------
+# deep-equality enum/const over array/object values (round-5 ask #7)
+# ---------------------------------------------------------------------------
+
+DEEP_ENUM = {
+    "type": "object",
+    "required": ["v"],
+    "properties": {
+        "v": {"enum": [[1, 2], {"a": 1}, "x", 3, [1, True], [1, 1.0],
+                       {"a": [1, {"b": None}]}]},
+    },
+}
+
+DEEP_CONST = {
+    "type": "object",
+    "properties": {"v": {"type": "array", "const": [1, [2, "x"], None]}},
+}
+
+
+def test_deep_enum_plan_compiles():
+    for schema in (DEEP_ENUM, DEEP_CONST):
+        plan = plan_screen(Schema(schema).data)
+        assert plan is not None
+        assert plan["v"][4][0] == "deep_enum"
+    # sibling keywords beyond type keep the property on the walk
+    assert plan_screen({"properties": {"v": {"enum": [[1]], "minItems": 1}}}) is None
+    # entries with >2^53 numbers walk (canonical key encodes floats)
+    assert plan_screen({"properties": {"v": {"enum": [[2 ** 60]]}}}) is None
+
+
+def _deep_rows(rng: random.Random, n: int) -> list:
+    vals = [
+        "[1, 2]", "[2, 1]", "[1, 2, 3]", "[1]", "[]",
+        '{"a": 1}', '{"a": 2}', '{"a": 1, "b": 2}', "{}",
+        '"x"', '"y"', "3", "3.0", "2.9", "true",
+        "[1, true]", "[1, 1.0]", "[1, 1]",
+        '{"a": [1, {"b": null}]}', '{"a": [1, {"b": 1}]}',
+        '{"a": null}',                        # null field: ambiguous, walks
+        "[null]", "null",
+        "[9007199254740993]",                  # 2^53+1 int: walks
+        '[1, [2, "x"], null]', '[1, [2, "x"]]',
+    ]
+    rows = []
+    for _ in range(n):
+        r = rng.randrange(12)
+        if r == 0:
+            rows.append(None)
+        elif r == 1:
+            rows.append("{}")
+        else:
+            rows.append('{"v": %s}' % rng.choice(vals))
+    return rows
+
+
+@pytest.mark.parametrize("schema", [DEEP_ENUM, DEEP_CONST])
+def test_deep_enum_screen_vs_walk(schema):
+    data = Schema(schema).data
+    plan = plan_screen(data)
+    assert plan is not None
+    for seed in range(25):
+        rng = random.Random(3200 + seed)
+        s = pd.Series(_deep_rows(rng, 60), dtype=object)
+        fast = _gate_rows(s, data, plan)
+        slow = _gate_rows(s, data, None)
+        pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_deep_enum_decided_rate():
+    """Most homogeneous deep-enum batches decide columnar-ly; only genuine
+    ambiguities (dict-valued None, >2^53 ints) walk."""
+    data = Schema(DEEP_ENUM).data
+    plan = plan_screen(data)
+    # type-homogeneous batch (mixed list element types abort the pyarrow
+    # parse and the whole batch walks — same rule as scalar columns)
+    rows = ['{"v": [1, 2]}', '{"v": [2, 1]}', '{"v": [1, 1.0]}',
+            '{"v": [9, 9]}', '{"v": [1, 1]}'] * 40
+    s = pd.Series(rows, dtype=object)
+    masks = screen_batch(s, plan)
+    assert masks is not None
+    valid, invalid = masks
+    decided = (valid | invalid).mean()
+    assert decided == 1.0, decided
+    # [1,2], [1,1.0] and [1,1] (1 == 1.0 deep) match entries; [2,1], [9,9] not
+    assert valid.sum() == 3 * 40 and invalid.sum() == 2 * 40
+
+
+def test_deep_enum_verdicts_exact():
+    """Canonical-key equality reproduces json_equal's corners: bool is not
+    number ([1,true] != [1,1]), 1 == 1.0, object key-set equality."""
+    data = Schema(DEEP_ENUM).data
+    rows = [
+        ('{"v": [1, 2]}', True),
+        ('{"v": [2, 1]}', False),        # order matters
+        ('{"v": [1, 1.0]}', True),       # entry [1, 1.0]
+        ('{"v": [1, 1]}', True),         # 1 == 1.0 deep equality
+        ('{"v": [1, true]}', True),      # exact entry
+        ('{"v": [1, false]}', False),
+        ('{"v": 3}', True),
+        ('{"v": 3.0}', True),            # 3 == 3.0
+        ('{"v": true}', False),          # bool != number 3... and not an entry
+        ('{"v": {"a": 1}}', True),
+        ('{"v": {"a": 1.0}}', True),
+        ('{"v": {"a": 1, "b": 2}}', False),
+        ('{"v": {}}', False),
+    ]
+    plan = plan_screen(data)
+    s = pd.Series([r for r, _ in rows], dtype=object)
+    fast = _gate_rows(s, data, plan)
+    slow = _gate_rows(s, data, None)
+    pd.testing.assert_frame_equal(fast, slow)
+    for (doc, want_valid), reason in zip(rows, fast["reason"].tolist()):
+        assert (reason is None) == want_valid, (doc, reason)
