@@ -13,7 +13,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from jsonschema_jl_spark.config import DedupConfig, DEFAULT_CONFIG
-from jsonschema_jl_spark.gate.gate import gate_filter
+from jsonschema_jl_spark.gate.gate import GateMetrics, gate_filter
+from jsonschema_jl_spark.gate.compiler import (
+    NotNativelyCompilable,
+    compile_native_checks,
+)
 from jsonschema_jl_spark.operators.minhash import with_signatures, normalize_udf
 from jsonschema_jl_spark.operators.lsh import band_buckets, candidate_pairs
 from jsonschema_jl_spark.operators.verify import verify_jaccard_text
@@ -61,7 +65,18 @@ def dedup_pipeline(
 ) -> PipelineResult:
     gate_schema = IMAGES_GATE_SCHEMA if gate_schema is None else gate_schema
 
-    valid = gate_filter(images, gate_schema)
+    # gate backend observability (round-4 ask #8): which backend the gate
+    # compiled to, plus the screen/walk split when the UDF lane runs.  The
+    # default IMAGES_GATE_SCHEMA is fully native (pure Catalyst, no Python
+    # stage), so its counters stay zero — a NONZERO walked/fallback count
+    # in the flagship metrics is itself the regression signal.
+    gate_metrics = GateMetrics(images.sparkSession) if collect_metrics else None
+    try:
+        compile_native_checks(gate_schema, images.schema)
+        gate_backend = "native"
+    except NotNativelyCompilable:
+        gate_backend = "udf"
+    valid = gate_filter(images, gate_schema, metrics=gate_metrics)
     # column pruning: only what dedup needs flows past the gate.  The string
     # image_id is dictionary-encoded to a 64-bit hash for the hot path —
     # bucket/gram/block explosions shuffle tens of rows per image, and a
@@ -204,7 +219,16 @@ def dedup_pipeline(
             labels=labels,
             edges=edges,
             signatures=sigs,
-            metrics={"skew": skew_metrics, "config_hash": cfg.config_hash()},
+            metrics={
+                "skew": skew_metrics,
+                "config_hash": cfg.config_hash(),
+                # gate counters are final here: the eager slim persist above
+                # already ran the gate for every row
+                "gate": {
+                    "backend": gate_backend,
+                    **(gate_metrics.as_dict() if gate_metrics is not None else {}),
+                },
+            },
             _cached=(slim,) if persist else (),
         )
     except BaseException:
