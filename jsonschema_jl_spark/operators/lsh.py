@@ -74,7 +74,7 @@ class SkewMetrics:
 
 def candidate_pairs(
     buckets: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG, with_metrics: bool = False,
-    cache_registry: list | None = None,
+    cache_registry: list | None = None, num_partitions: int | None = None,
 ):
     """Distinct (src, dst) candidate pairs (src < dst) from shared buckets.
 
@@ -117,7 +117,16 @@ def candidate_pairs(
     # `cache_registry` (the pipeline unpersists after the edge checkpoint);
     # with no registry the persist is skipped to avoid leaking caches in
     # long-lived sessions (plan falls back to the double-compute).
-    par = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # `num_partitions` sizes the bucket-row exchange to the DATA (the
+    # pipeline derives it from the gated row count): the explicit
+    # repartition's partitioning propagates through the size agg, the
+    # survivor hash join, and the collect_list — all downstream exchanges
+    # of this chain inherit it, which bounds per-task state no matter how
+    # far the input outgrows the session's shuffle-partition conf (the 10x
+    # stress draw failed exactly here-abouts before this floor existed)
+    par = num_partitions or int(
+        buckets.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     # band is metrics-only downstream of banding (the band id is already
     # folded into the bucket hash) — project it off BEFORE the big exchange:
     # at b bands the bucket rows are the pipeline's widest fixed-width

@@ -42,7 +42,7 @@ def phash_blocks(
 def phash_pairs(
     df: DataFrame, id_col: str = "image_id", phash_col: str = "phash",
     cfg: DedupConfig = DEFAULT_CONFIG, block_cap: int = 10_000,
-    cache_registry: list | None = None,
+    cache_registry: list | None = None, num_partitions: int | None = None,
 ) -> DataFrame:
     """Distinct (src, dst, hamming) pairs with Hamming(phash) <= radius.
 
@@ -61,9 +61,16 @@ def phash_pairs(
     exchange (same partial-agg-exchange reuse failure as
     lsh.candidate_pairs; see there); the caller unpersists."""
     blocks = phash_blocks(df, id_col, phash_col, cfg)
+    par = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if cache_registry is not None or num_partitions is not None:
+        # data-sized exchange (see lsh.candidate_pairs): the explicit
+        # partitioning propagates through the size agg, survivor join, and
+        # collect_list, bounding per-task hash-join builds at any scale
+        blocks = blocks.repartition(par, "block", "key")
     if cache_registry is not None:
-        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        blocks = blocks.repartition(par, "block", "key").persist()
+        blocks = blocks.persist()
         cache_registry.append(blocks)
     sizes = blocks.groupBy("block", "key").agg(F.count("*").alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= block_cap)).drop("n")

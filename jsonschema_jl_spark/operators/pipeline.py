@@ -111,7 +111,21 @@ def dedup_pipeline(
         # cluster scale this is the Iceberg signature-checkpoint write (P13)
         # instead of executor memory.
         slim = slim.persist()
-        slim.count()
+        n_valid = slim.count()
+    else:
+        n_valid = None
+
+    # data-derived partition floor for the candidate/verify hot paths
+    # (round-5, found by the 10x stress draw): the probe/pair/text hash-join
+    # BUILD sides are corpus-proportional, so at a fixed session partition
+    # count their per-task maps grow without bound — 6.5M rows x 32
+    # partitions exceeded the 512 MB memory grant inside containment's
+    # candidate join.  ~50k gated rows per partition keeps every build in
+    # the tens of MB; at bench scale the floor resolves to the session conf
+    # and plans are byte-identical.  On a real cluster the job ALSO sizes
+    # spark.sql.shuffle.partitions to the data (SCALE.md §partitioning);
+    # this floor makes the operators safe even when it doesn't.
+    hot_par = par if n_valid is None else max(par, n_valid // 50_000)
 
     try:
         # signatures stream straight into banding (their only consumer since
@@ -138,14 +152,18 @@ def dedup_pipeline(
         try:
             if collect_metrics:
                 cands, skew = candidate_pairs(
-                    buckets, cfg, with_metrics=True, cache_registry=op_caches
+                    buckets, cfg, with_metrics=True, cache_registry=op_caches,
+                    num_partitions=hot_par,
                 )
                 skew_metrics = skew.as_dict()
             else:
-                cands = candidate_pairs(buckets, cfg, cache_registry=op_caches)
+                cands = candidate_pairs(
+                    buckets, cfg, cache_registry=op_caches, num_partitions=hot_par
+                )
                 skew_metrics = {}
             caption_edges = verify_jaccard_text(
-                cands, slim, id_col="nid", text_col="txt_norm", cfg=cfg, assume_normalized=True
+                cands, slim, id_col="nid", text_col="txt_norm", cfg=cfg,
+                assume_normalized=True, num_partitions=hot_par,
             ).select(
                 "src", "dst", F.lit("caption").alias("kind")
             )
@@ -153,7 +171,8 @@ def dedup_pipeline(
             edge_parts = [caption_edges]
             if use_phash:
                 edge_parts.append(
-                    phash_pairs(slim, id_col="nid", cfg=cfg, cache_registry=op_caches).select(
+                    phash_pairs(slim, id_col="nid", cfg=cfg,
+                                cache_registry=op_caches, num_partitions=hot_par).select(
                         "src", "dst", F.lit("phash").alias("kind")
                     )
                 )
@@ -162,6 +181,7 @@ def dedup_pipeline(
                     containment_pairs(
                         slim, id_col="nid", text_col="txt_norm", cfg=cfg,
                         assume_normalized=True, cache_registry=op_caches,
+                        num_partitions=hot_par,
                     ).select(
                         "src", "dst", F.lit("substring").alias("kind")
                     )

@@ -39,6 +39,7 @@ def containment_pairs(
     anchor_cap: int = 10_000,
     assume_normalized: bool = False,
     cache_registry: list | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(src, dst) with normalized src caption a strict substring of dst's.
 
@@ -59,33 +60,44 @@ def containment_pairs(
     # Sparse-anchor scheme (winnowing-style, EXACT): the container emits
     # g-grams only at positions 1, 1+s, 1+2s, ...; the probe emits its first
     # s g-grams.  If A occurs in B at offset o, A's gram at position p
-    # (1<=p<=s) lands at container position o+p, and exactly one p makes
-    # o+p ≡ 1 (mod s) — so every true containment survives with s*fewer
-    # exploded container rows.  Only (id, len, key) flows through the
-    # explode; candidate pairs re-fetch texts via narrow joins.
+    # (1<=p<=s) lands at container position o+p-1... and exactly one p puts
+    # that on the container's stride grid — so every true containment
+    # survives with s*fewer exploded container rows.
+    #
+    # Round-5 redesign (found by the 10x stress draw): candidate rows are
+    # FIXED-WIDTH through every exchange.  On window-sharing corpora the
+    # candidate count grows ~quadratically with the corpus (measured 1.29e9
+    # candidates from 6.5M template-generated captions with NO key above
+    # the anchor cap — window-frequency capping would have dropped 39-72%
+    # of probes, unacceptable recall), so the old shape — fetch both texts
+    # per candidate, verify with instr — shipped hundreds of GB of caption
+    # bytes.  Instead both sides carry POSITIONS and the probe carries a
+    # full-text hash: a key match derives the exact alignment offset
+    # o = pos_b - p + 1, the container-side verify recomputes
+    # xxhash64(substr(txt_b, o, len)) with ONE corpus-sized text exchange
+    # (probe text never moves), and only the hash-matched minority fetches
+    # the probe text for the exact string-equality confirm — containment is
+    # EXACT, never hash-trusted.
     probe = base.select(
         "id",
         F.length("txt").alias("len"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, {s}), i -> xxhash64(substr(txt, i, {g})))"
-                )
+        F.xxhash64("txt").alias("h1"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, {s}), i -> xxhash64(substr(txt, i, {g})))"
             )
-        ).alias("key"),
-    )
+        ).alias("p0", "key"),
+    ).withColumn("p", F.col("p0") + 1).drop("p0")
     grams = base.select(
         F.col("id").alias("id_b"),
         F.length("txt").alias("len_b"),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(txt) - {g - 1}, 1), {s}),"
-                    f" i -> xxhash64(substr(txt, i, {g})))"
-                )
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(txt) - {g - 1}, 1), {s}),"
+                f" i -> xxhash64(substr(txt, i, {g})))"
             )
-        ).alias("key"),
-    )
+        ).alias("gpos", "key"),
+    ).withColumn("pos_b", F.col("gpos") * s + 1).drop("gpos")
     # cap degenerate anchors (e.g. a ubiquitous phrase) like LSH buckets.
     # All four joins below carry SHUFFLE_HASH hints on their smaller side:
     # the default sort-merge strategy would SORT the multi-million-row gram
@@ -99,25 +111,74 @@ def containment_pairs(
     # substr+xxhash64 pass over every container position — 22M rows at the
     # 864k-row bench) runs twice.  Caller owns the unpersist via
     # cache_registry; with no registry the old double-compute plan stands.
+    # `num_partitions` sizes the hash-join exchanges to the DATA: the probe
+    # relation (s anchor keys PER DOCUMENT) is the build side of the
+    # candidate join and grows linearly with the corpus — at a fixed
+    # session partition count its per-task hash map grows unboundedly (the
+    # 10x stress draw failed HERE: "Can't acquire 536870912 bytes memory to
+    # build hash relation" at 6.5M rows x 32 partitions).  Repartitioning
+    # both join inputs on the join key at a data-derived count bounds every
+    # build; at bench scale num_partitions equals the session conf and the
+    # plans are unchanged.
+    if num_partitions is not None:
+        probe = probe.repartition(num_partitions, "key")
+        grams = grams.repartition(num_partitions, "key")
     if cache_registry is not None:
         grams = grams.persist()
         cache_registry.append(grams)
     sizes = grams.groupBy("key").agg(F.count("*").alias("n"))
-    ok = sizes.filter(F.col("n") <= anchor_cap).drop("n")
-    grams = grams.join(ok.hint("SHUFFLE_HASH"), "key")
+    # Cap filter as a BROADCAST ANTI-join against the HOT anchors, not an
+    # inner join against the survivors: the survivor set (n <= cap) is
+    # corpus-proportional — at 6.5M docs it is ~100M+ distinct anchors, and
+    # building it as a SHUFFLE_HASH hash relation blew the per-task memory
+    # grant in the 10x stress draw ("Can't acquire 536870912 bytes").  The
+    # HOT set (n > cap) is bounded by total_gram_rows / cap BY CONSTRUCTION
+    # (<= ~18k keys at 175M gram rows, cap 10k) — broadcastable at ANY
+    # corpus size, and the anti-join is map-side: one fewer shuffle of the
+    # multi-hundred-million-row gram relation.
+    hot = sizes.filter(F.col("n") > anchor_cap).drop("n")
+    grams = grams.join(F.broadcast(hot), "key", "left_anti")
+    # candidates: fixed-width rows (id, id_b, o, len, h1) — the alignment
+    # offset is DERIVED, so the verify checks one exact position, not an
+    # O(len_a * len_b) instr scan
     cand = (
         probe.hint("SHUFFLE_HASH").join(grams, "key")
-        .filter((F.col("id") != F.col("id_b")) & (F.col("len") < F.col("len_b")))
-        .select("id", "id_b")
-        .dropDuplicates(["id", "id_b"])
+        .withColumn("o", F.col("pos_b") - F.col("p") + 1)
+        .filter(
+            (F.col("id") != F.col("id_b"))
+            & (F.col("len") < F.col("len_b"))
+            & (F.col("o") >= 1)
+            & (F.col("o") + F.col("len") - 1 <= F.col("len_b"))
+        )
+        .select("id", "id_b", "o", "len", "h1")
     )
-    a = base.select(F.col("id"), F.col("txt"))
     b = base.select(F.col("id").alias("id_b2"), F.col("txt").alias("txt_b"))
+    a = base.select(F.col("id"), F.col("txt"))
+    if num_partitions is not None:
+        # the container-text side pins the (data-derived) partition count;
+        # the candidate side co-partitions to match.  Hash-join BUILD sides
+        # are the TEXT relations (bounded per task: ~50k texts x ~300 B),
+        # NEVER the candidate relation — building candidates blew the
+        # 512 MB per-task grant in the 10x stress draw.
+        b = b.repartition(num_partitions, "id_b2")
+        a = a.repartition(num_partitions, "id")
+    # container-side hash verify: ONE corpus-sized text exchange total;
+    # candidates cross as 40-byte rows.  The hash-matched minority (true
+    # pairs + ~n*2^-64 collisions) then fetches the probe text for the
+    # exact equality confirm at the derived offset.
+    hashed = (
+        cand.join(b.hint("SHUFFLE_HASH"), cand.id_b == b.id_b2)
+        .filter(F.expr("xxhash64(substring(txt_b, o, len))") == F.col("h1"))
+        .select("id", "id_b", "o", "len", "txt_b")
+    )
+    # dedup only AFTER the exact confirm: deduping on the hash-matched set
+    # could (at 2^-64 odds) keep a colliding offset and discard the true
+    # one — the final pair set must never depend on a hash
     return (
-        cand.hint("SHUFFLE_HASH").join(a, "id")
-        .join(b.hint("SHUFFLE_HASH"), cand.id_b == b.id_b2)
-        .filter(F.instr(F.col("txt_b"), F.col("txt")) > 0)
+        hashed.join(a.hint("SHUFFLE_HASH"), "id")
+        .filter(F.expr("substring(txt_b, o, len)") == F.col("txt"))
         .select(F.col("id").alias("src"), F.col("id_b").alias("dst"))
+        .dropDuplicates(["src", "dst"])
     )
 
 

@@ -116,14 +116,24 @@ def verify_jaccard_text(
     text_col: str = "caption",
     cfg: DedupConfig = DEFAULT_CONFIG,
     assume_normalized: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Like verify_jaccard, but joins the candidate pairs back to the raw
     text and recomputes shingle sets inside the UDF — candidates are a tiny
     fraction of rows, so shipping ~150-byte captions for them beats
-    materializing ~1 KB shingle arrays for EVERY row upstream."""
+    materializing ~1 KB shingle arrays for EVERY row upstream.
+
+    `num_partitions` sizes the hash-join exchanges to the DATA (pipeline
+    derives it from the gated row count): both the pair relation and the
+    text relation grow with the corpus, and their SHUFFLE_HASH builds must
+    stay bounded per task regardless of the session conf."""
     t = texts.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     left = t.select(F.col("id").alias("src"), F.col("txt").alias("txt_src"))
     right = t.select(F.col("id").alias("dst"), F.col("txt").alias("txt_dst"))
+    if num_partitions is not None:
+        pairs = pairs.repartition(num_partitions, "src")
+        left = left.repartition(num_partitions, "src")
+        right = right.repartition(num_partitions, "dst")
     # hash joins (no sort): sort-merge would order the full text relation
     # twice just to fetch candidate texts; hint the fixed-width text
     # relation for the second join — the pairs-with-texts intermediate can
