@@ -915,14 +915,20 @@ def main() -> None:
             out["wall_total"] = round(time.time() - t_start, 1)
             print(json.dumps(out), flush=True)
             return
-        # 6x the bench input (round 4; was 8x): big enough that fixed
-        # driver-side serial work stays small against the fast level's rep
-        # (AQE is off here; the remaining action barriers are ~5-8s vs a
-        # ~110s local[4] rep), small enough that the full 3-clean-rep
-        # protocol at BOTH levels fits the wall budget — at 8x the local[1]
-        # level alone needs ~2000s (full-size warmup + 3 reps at ~475s)
-        # and the driver artifact times out instead (BENCH_r03 rc=124).
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(6 * n_rows)))
+        # 12x the bench input (round 5; was 6x in round 4, 8x in round 3):
+        # the sizing rule is REP DURATION, not a magic multiplier — fixed
+        # driver-side serial work (CC convergence round-trips, action
+        # barriers, ~10s total) must stay small against the fast level's
+        # rep or it reads as false inefficiency.  The round-5 operator
+        # rework (one-exchange phash/ngram pairs, fixed-width containment
+        # candidates) cut the 648k-row rep to 52s at local[4], where that
+        # serial slice alone costs ~0.15 of the ratio: measured SAME-DAY
+        # 0.805 at 6x vs 0.940 at 12x, identical protocol, both
+        # spread_ok, 12x wall 2088s of the 2700s budget (local[1]
+        # 371/372/379s + local[4] 99/102/102s incl. full-size warmups).
+        # At 8x-of-SLOWER-code round 3 timed out (rc=124); 12x of the
+        # round-5 engine sits where 6x of the round-4 engine did.
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", str(12 * n_rows)))
         s = get_spark("bench_scale_gen", cores=cpus)
         scale_path = input_path(s, n_scale)
         scale_rows = s.read.parquet(scale_path).count()
