@@ -81,8 +81,42 @@ _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 # Java `Pattern` (rlike): plain literals, ., *, +, ?, |, ^, $, grouping,
 # and simple character classes.  No backslash escapes, no braces
 # (counted repetition {m,n} agrees too but costs nothing to exclude), no
-# inline flags — anything fancier walks.
+# inline flags — anything fancier walks.  Character classes additionally
+# go through _classes_dialect_safe: '[' INSIDE a class is a literal to
+# Python `re` but opens a NESTED CLASS UNION to Java `Pattern` (so
+# "[a[b]]" matches "a" under rlike but not under the walk), and a ']' in
+# class-leading position ("[]a]") is a literal member to Python but a
+# compile error to Java — both shapes walk.
 _SAFE_PATTERN = re.compile(r"^[A-Za-z0-9_ .*+?()|^$\[\]\-]*$")
+
+
+def _classes_dialect_safe(p: str) -> bool:
+    """True iff every character class in `p` means the same thing to Python
+    `re` and Java `Pattern`: no '[' inside an open class (Java nested class
+    union vs Python literal), no class-leading ']' (Python literal member
+    vs Java syntax error; includes the empty class '[]'), every class
+    closed.  Assumes `p` already passed _SAFE_PATTERN (no backslashes, so
+    no escaped brackets to track)."""
+    in_class = False
+    at_class_start = False
+    for ch in p:
+        if ch == "[":
+            if in_class:
+                return False
+            in_class = True
+            at_class_start = True
+            continue
+        if ch == "]":
+            if in_class and at_class_start:
+                return False
+            in_class = False
+        elif ch == "^" and at_class_start:
+            # negation marker: ']' right after "[^" is still class-leading
+            # to Python (literal) and an error to Java — keep the flag
+            at_class_start = True
+            continue
+        at_class_start = False
+    return not in_class
 
 _SCALAR_TYPES = {"integer", "number", "string", "boolean"}
 _UNION_TYPES = {"integer", "number", "string", "boolean", "null", "array", "object"}
@@ -138,6 +172,8 @@ def _admit_scalar(sub: Any) -> bool:
     if "pattern" in sub:
         p = sub["pattern"]
         if not isinstance(p, str) or not _SAFE_PATTERN.match(p):
+            return False
+        if not _classes_dialect_safe(p):
             return False
         try:
             re.compile(p)

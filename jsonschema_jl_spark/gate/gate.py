@@ -270,7 +270,15 @@ def gate_filter(
     shape, 32 partitions), so the screen path is CPU-optimal whenever it
     covers the schema; the variant path is the choice when Python workers
     are unwanted (no IPC, no python worker memory, plan composability) and
-    is the only dynamic backend that judges absent-vs-null exactly."""
+    is the only dynamic backend that judges absent-vs-null exactly.
+
+    `metrics` caveat under `dynamic_native=True`: the counters are threaded
+    only into the refused-row WALK lane (the native lane has no Python
+    stage to count), so rows/screen_rate describe the variant-refused
+    minority — typically a handful of malformed/huge-integer rows — NOT
+    the corpus-wide screen/walk split the default dynamic path reports.
+    Read them as "what the residual lane did", or count the native lane
+    separately (e.g. a filter-count on the returned frame)."""
     if not isinstance(schema, Schema):
         schema = Schema(schema)
     if json_col is not None and dynamic_native:

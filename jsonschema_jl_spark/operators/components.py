@@ -144,6 +144,7 @@ def connected_components_twophase(
     vertices: DataFrame | None = None,
     max_iters: int = 50,
     checkpoint_fn: Callable[[DataFrame, int], DataFrame] | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
@@ -156,42 +157,65 @@ def connected_components_twophase(
       large-star: every neighbor v > u links to min(N(u) ∪ {u})
       small-star: every neighbor v <= u (and u) links to min(N<=(u) ∪ {u})
 
+    `shuffle_partitions` sizes the loop's shuffles to the EDGE data with
+    PER-PLAN scoping, exactly like `connected_components`: every exchange
+    inside the loop comes from an explicit repartition on the round key
+    `a` (which the dedup/groupBy/join downstream all reuse — hash
+    partitioning on a subset of the clustering keys satisfies their
+    required distribution), so concurrent queries planned on the same
+    session keep their own `spark.sql.shuffle.partitions`.
+
     Kept alongside `connected_components` as the scale path for adversarial
     graph shapes; dup-cluster graphs are shallow so both perform similarly.
     """
     if checkpoint_fn is None:
         checkpoint_fn = lambda df, i: df.localCheckpoint(eager=True)  # noqa: E731
 
+    def _scoped(df: DataFrame) -> DataFrame:
+        # one explicit edge-sized exchange on the round key; a no-op
+        # pass-through when unscoped (session conf governs, as before)
+        if shuffle_partitions is not None:
+            return df.repartition(shuffle_partitions, "a")
+        return df
+
     # directed representation: (a, b) with a > b after the first small-star
     e = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
-        .distinct()
+        _scoped(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        )
+        .dropDuplicates(["a", "b"])
     )
     e = checkpoint_fn(e, 0)
     prev_sig = None
     for it in range(1, max_iters + 1):
         # ---- large-star over the symmetric view ----
-        sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        sym = _scoped(
+            e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        )
         mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
         mins = mins.select("a", F.least("a", "mn").alias("m"))
         ls = (
-            sym.join(mins, "a")
-            .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
+            _scoped(
+                sym.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+            )
+            .dropDuplicates(["a", "b"])
         )
         # ---- small-star over the directed (big -> small) view ----
         mins2 = ls.groupBy("a").agg(F.min("b").alias("m"))
         ss = (
-            ls.join(mins2, "a")
-            .filter(F.col("b") != F.col("m"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .unionByName(mins2.select(F.col("a"), F.col("m").alias("b")))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
+            _scoped(
+                ls.join(mins2, "a")
+                .filter(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .unionByName(mins2.select(F.col("a"), F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+            )
+            .dropDuplicates(["a", "b"])
         )
         e = checkpoint_fn(ss, it)
         # convergence signature: (edge count, XOR of full 64-bit edge hashes).

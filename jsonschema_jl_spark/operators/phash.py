@@ -78,14 +78,23 @@ def phash_pairs(
     grouped = member.groupBy("block", "key").agg(
         F.collect_list(F.struct("id", "ph")).alias("ms")
     )
+    # per-member pair expansion: posexplode the membership and emit one
+    # O(cap) slice per member — the flatten(transform(...)) single-array
+    # shape materializes all C(n,2) pair structs of a block as ONE array
+    # value, and at block_cap=10_000 a cap-sized degenerate block (e.g.
+    # blank-image phashes) would build a ~5e7-struct (~1+ GB) array in a
+    # single task row.  Member rows stream through the two Generates inside
+    # one codegen stage, so per-row state is O(cap), total work unchanged.
+    # (lsh.candidate_pairs keeps the single-array template: bucket_cap=64
+    # bounds it at 2,016 structs.)
     return (
-        grouped.select(
+        grouped.select(F.col("ms"), F.posexplode("ms").alias("i", "x"))
+        .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ms, (x, i) ->"
-                    " transform(slice(ms, i + 2, size(ms)), y -> struct("
+                    "transform(slice(ms, i + 2, size(ms)), y -> struct("
                     "least(x.id, y.id) AS src, greatest(x.id, y.id) AS dst,"
-                    " bit_count(x.ph ^ y.ph) AS hamming))))"
+                    " bit_count(x.ph ^ y.ph) AS hamming))"
                 )
             ).alias("p")
         )

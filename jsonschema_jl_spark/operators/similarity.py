@@ -151,9 +151,14 @@ def lsh_ann_pairs(
     min_cos: float = 0.0,
     bucket_cap: int = 2000,
     cache_registry: list | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate (src, dst, cos) pairs sharing a hyperplane-sign bucket in
     any of n_tables tables; exact cosine verified natively.
+
+    Input contract: `id_col` values are unique (one vector per id) — the
+    pair set is deduped BEFORE the vector re-fetch joins, so duplicate ids
+    would fan out again in the fetch.
 
     Bucket keys: native per-plane Column expressions while the literal
     volume stays small (whole-stage codegen, zero Python), else one Arrow
@@ -175,8 +180,18 @@ def lsh_ann_pairs(
     corpus — runs ONCE and the size agg + collect_list branches reuse one
     exchange; caller owns the unpersist.  With no registry the persist is
     skipped (no leaked caches in long-lived sessions) and the plan falls
-    back to recomputation per branch."""
+    back to recomputation per branch.
+
+    `num_partitions` sizes every exchange of this op to the DATA (derive it
+    from the corpus row count, ~50k rows/partition — the same floor the
+    pipeline threads through candidate_pairs/phash_pairs/containment_pairs
+    after the 10x stress draw): the bucket rows, the survivor join, and the
+    vector-fetch joins all grow with the corpus, so at a fixed session
+    partition count their per-task hash builds grow without bound."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    par = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     if n_planes * dim <= _NATIVE_SIGNS_MAX:
         keys = F.array(*[
             signs_column(F.col("vec"), _hyperplanes(dim, n_planes, t, seed))
@@ -190,9 +205,10 @@ def lsh_ann_pairs(
     exploded = base.select(
         "id", F.posexplode(keys).alias("table", "bucket")
     )
+    if cache_registry is not None or num_partitions is not None:
+        exploded = exploded.repartition(par, "table", "bucket")
     if cache_registry is not None:
-        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        exploded = exploded.repartition(par, "table", "bucket").persist()
+        exploded = exploded.persist()
         cache_registry.append(exploded)
     sizes = exploded.groupBy("table", "bucket").agg(F.count("*").alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= bucket_cap)).drop("n")
@@ -200,13 +216,22 @@ def lsh_ann_pairs(
     grouped = member.groupBy("table", "bucket").agg(
         F.collect_list("id").alias("ids")
     )
+    # per-member pair expansion: posexplode the membership list and emit one
+    # O(cap) slice per member, instead of flattening all C(n,2) pair structs
+    # into ONE array value — at bucket_cap=2000 the single-array shape
+    # builds up to ~2M two-long structs (~tens of MB) in one row, the exact
+    # per-task memory blow-up class the stress work eliminates.  The rows
+    # stream through the Generates inside one codegen stage, so the full
+    # C(n,2) set never materializes at once.  (lsh.candidate_pairs keeps the
+    # single-array shape: its bucket_cap=64 bounds the array at 2,016
+    # structs.)
     pairs = (
-        grouped.select(
+        grouped.select(F.col("ids"), F.posexplode("ids").alias("i", "x"))
+        .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)), y ->"
-                    " struct(least(x, y) AS src, greatest(x, y) AS dst))))"
+                    "transform(slice(ids, i + 2, size(ids)), y ->"
+                    " struct(least(x, y) AS src, greatest(x, y) AS dst))"
                 )
             ).alias("p")
         )
@@ -217,10 +242,18 @@ def lsh_ann_pairs(
     # pairs (a tiny fraction of rows after banding + caps) pull vectors,
     # and the corpus-side shuffles carry (id, vec) exactly once per side.
     # Hash joins, not sort-merge: sorting the vector relation to fetch a
-    # few candidates would be pure overhead.
+    # few candidates would be pure overhead.  The hash BUILD side is the
+    # VECTOR relation on BOTH joins — bounded per task by `num_partitions`
+    # (~50k vectors/partition) — never the candidate-pair relation, which
+    # is the unbounded relation class the 10x stress draw blew the 512 MB
+    # build grant on (the round-5 shape built the first join on `pairs`).
     left = base.select(F.col("id").alias("src"), F.col("vec").alias("vec_src"))
     right = base.select(F.col("id").alias("dst"), F.col("vec").alias("vec_dst"))
-    joined = pairs.hint("SHUFFLE_HASH").join(left, "src").join(
+    if num_partitions is not None:
+        pairs = pairs.repartition(par, "src")
+        left = left.repartition(par, "src")
+        right = right.repartition(par, "dst")
+    joined = pairs.join(left.hint("SHUFFLE_HASH"), "src").join(
         right.hint("SHUFFLE_HASH"), "dst"
     )
     return (
@@ -349,6 +382,7 @@ def ngram_token_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
     anchor_cap: int = 200,
     cache_registry: list | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: pairs sharing at least one token n-gram.
     (src, dst, shared_ngrams) — exact Jaccard can then verify.  n-grams are
@@ -363,7 +397,15 @@ def ngram_token_pairs(
     two-sided membership self-join; the shared-gram count falls out of a
     groupBy over the expanded pairs.  With a cache_registry the gram rows
     are repartitioned on the gram key and persisted so the anchor-size
-    count and the collect_list share one exchange; the caller unpersists."""
+    count and the collect_list share one exchange; the caller unpersists.
+
+    `num_partitions` sizes the gram-row exchange (and everything that
+    reuses its partitioning: size agg, survivor SHUFFLE_HASH join,
+    collect_list) to the DATA — derive it from the corpus row count
+    (~50k rows/partition): the gram relation grows linearly with the
+    corpus, and at a fixed session partition count its per-task hash-join
+    builds grow without bound (the failure class the 10x stress draw
+    proved against containment's candidate join)."""
     toks_df = df.select(
         F.col(id_col).alias("id"),
         # Generate barrier: one split per row, referenced twice downstream
@@ -380,9 +422,13 @@ def ngram_token_pairs(
             )
         ).alias("g"),
     )
+    par = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if cache_registry is not None or num_partitions is not None:
+        grams = grams.repartition(par, "g")
     if cache_registry is not None:
-        par = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        grams = grams.repartition(par, "g").persist()
+        grams = grams.persist()
         cache_registry.append(grams)
     sizes = grams.groupBy("g").agg(F.count("*").alias("cnt"))
     ok = sizes.filter((F.col("cnt") > 1) & (F.col("cnt") <= anchor_cap)).drop("cnt")
