@@ -298,6 +298,124 @@ def band_keys_np(sigs_i64: np.ndarray, cfg: DedupConfig) -> np.ndarray:
     return h.view(np.int64)
 
 
+def _pad_concat(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Contiguous uint8 buffer + per-row lengths with every row >= k bytes
+    (zero-padded), built with ONE vectorized gather — shared by the Arrow
+    signature kernels (their shingle pass needs a dense padded buffer)."""
+    n = lens.size
+    if not (lens < k).any() and (
+        n == 1 or (starts[1:] == starts[:-1] + lens[:-1]).all()
+    ):
+        return data[starts[0] : starts[-1] + lens[-1]], lens
+    out_lens = np.maximum(lens, k)
+    ostarts = np.zeros(n, dtype=np.int64)
+    np.cumsum(out_lens[:-1], out=ostarts[1:])
+    buf = np.zeros(int(out_lens.sum()), dtype=np.uint8)
+    tot = int(lens.sum())
+    if tot:
+        # rid[i] = source row of the i-th copied byte; ramp[i] = its offset
+        # within that row (cumsum-of-markers form)
+        rid = np.zeros(tot, dtype=np.int64)
+        nz = np.cumsum(lens[:-1])
+        rid[nz[nz < tot]] = 1
+        rid = np.cumsum(rid)
+        in_starts = np.concatenate(([0], nz))
+        ramp = np.arange(tot, dtype=np.int64) - in_starts[rid]
+        buf[ostarts[rid] + ramp] = data[starts[rid] + ramp]
+    return buf, out_lens
+
+
+def normalize_signatures_bands(
+    df: DataFrame,
+    text_col: str = "caption",
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    out_text_col: str = "txt_norm",
+) -> DataFrame:
+    """P2+P3+P4 fused into ONE Arrow crossing — the pipeline hot path.
+
+    Emits the input columns with `text_col` replaced by `out_text_col`
+    (normalize_text'd, nulls preserved) plus `bands: array<long>` (the
+    num_bands LSH bucket keys, band_keys_np).  Everything between —
+    shingling and the OPH signature matrix — stays inside the kernel and
+    never crosses the JVM boundary.
+
+    Why this exists next to `with_signatures`: the pipeline's only consumer
+    of the signature array is banding (verification recomputes shingles
+    from candidate TEXTS), so emitting `minhash` costs num_perm*8 B/row of
+    Arrow transfer + JVM row conversion (~200 MB per 100k rows at P=256)
+    that the next operator immediately discards — and running normalize as
+    its own ArrowEvalPython stage pays a second full JVM<->Python round
+    trip of the caption column.  One mapInArrow does both jobs: text in,
+    (normalized text, band keys) out.  Signatures are bit-identical to
+    minhash_batch's; band keys to band_keys_np's."""
+    import pyarrow as pa
+
+    P = cfg.num_perm
+    k = cfg.shingle_k
+    B = cfg.num_bands
+    col_names = list(df.columns)
+    ti = col_names.index(text_col)
+    out_fields = [
+        T.StructField(out_text_col, T.StringType(), True)
+        if f.name == text_col else f
+        for f in df.schema.fields
+    ] + [T.StructField("bands", T.ArrayType(T.LongType()), False)]
+    out_schema_t = T.StructType(out_fields)
+    out_names = [out_text_col if c == text_col else c for c in col_names] + ["bands"]
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column(ti).to_pandas()
+            norm = normalize_series(texts.astype(object))
+            vals = norm.to_numpy(dtype=object)
+            mask = pd.isna(vals)
+            bufs = [
+                b"" if m else v.encode("utf-8") for v, m in zip(vals, mask)
+            ]
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+            data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            # normalized-text output column: reuse the concat buffer via
+            # arithmetic offsets (no per-row copies) on the common all-
+            # non-null path; fall back to a builder when nulls exist
+            if mask.any():
+                txt_arr = pa.array(
+                    [None if m else v for v, m in zip(vals, mask)],
+                    type=pa.string(),
+                )
+            else:
+                off = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=off[1:])
+                txt_arr = pa.StringArray.from_buffers(
+                    n,
+                    pa.py_buffer(off.astype(np.int32).tobytes()),
+                    pa.py_buffer(data.tobytes()),
+                )
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            pdata, plens = _pad_concat(data, starts, lens, k)
+            flat, row, _counts, _n = _shingle_flat_from_buffer(pdata, plens, k)
+            sigs = np.ascontiguousarray(
+                _oph_signatures_flat(flat, row, n, cfg)
+                if cfg.minhash_scheme == "oph"
+                else _classic_signatures_flat(flat, row, plens - (k - 1), n, cfg)
+            )
+            bk = band_keys_np(sigs.reshape(n, P), cfg).reshape(-1)
+            boff = pa.array((np.arange(n + 1, dtype=np.int64) * B).astype(np.int32))
+            bands = pa.ListArray.from_arrays(boff, pa.array(bk, type=pa.int64()))
+            out_cols = [
+                txt_arr if i == ti else batch.column(i)
+                for i in range(batch.num_columns)
+            ] + [bands]
+            yield pa.RecordBatch.from_arrays(out_cols, names=out_names)
+
+    return df.mapInArrow(gen, schema=out_schema_t)
+
+
 def _signatures_map_in_arrow(
     df: DataFrame, text_col: str, cfg: DedupConfig, normalized: bool,
     with_bands: bool = False,

@@ -18,7 +18,7 @@ from jsonschema_jl_spark.gate.compiler import (
     NotNativelyCompilable,
     compile_native_checks,
 )
-from jsonschema_jl_spark.operators.minhash import with_signatures, normalize_udf
+from jsonschema_jl_spark.operators.minhash import normalize_signatures_bands
 from jsonschema_jl_spark.operators.lsh import band_buckets, candidate_pairs
 from jsonschema_jl_spark.operators.verify import verify_jaccard_text
 from jsonschema_jl_spark.operators.phash import phash_pairs
@@ -45,7 +45,7 @@ IMAGES_GATE_SCHEMA: dict = {
 class PipelineResult:
     labels: DataFrame          # (image_id, component)
     edges: DataFrame           # (src, dst, kind)
-    signatures: DataFrame      # (image_id, txt_norm, phash, minhash)
+    signatures: DataFrame      # (nid, image_id, txt_norm, phash, bands)
     metrics: dict = field(default_factory=dict)
     _cached: tuple = ()
 
@@ -84,14 +84,10 @@ def dedup_pipeline(
     # (At 10^12 rows you would zipWithIndex against the Iceberg snapshot
     # instead; xxhash64 collisions are ~n^2/2^64 — negligible at bench scale
     # and detectable by the final re-join.)
-    # caption normalization (P2) happens HERE, exactly once: slim is
-    # persisted and feeds all three text consumers (MinHash, containment,
-    # Jaccard verify), which run with assume_normalized=True — one string
-    # pass over the corpus instead of five-plus.
     slim = valid.select(
         F.xxhash64("image_id").alias("nid"),
         "image_id",
-        normalize_udf(F.col("caption")).alias("txt_norm"),
+        F.col("caption"),
         "phash",
     )
     # rebalance: the pruned projection of a wide table collapses to few scan
@@ -103,6 +99,20 @@ def dedup_pipeline(
     # make small runs look anti-scalable and big runs under-split.
     par = int(images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     slim = slim.repartition(par)
+    # P2+P3+P4 in ONE Arrow crossing (minhash.normalize_signatures_bands):
+    # caption normalization happens exactly once, inside the same kernel
+    # that shingles, OPH-hashes and folds the LSH band keys — the previous
+    # shape paid two full JVM<->Python round trips (an ArrowEvalPython
+    # normalize stage into the persisted projection, then a MapInArrow
+    # signature stage back over it) and shipped a num_perm-long `minhash`
+    # array out of Python (~2 KB/row) that banding immediately discarded
+    # (verification recomputes shingles from candidate texts).  The
+    # persisted projection now carries (nid, image_id, txt_norm, phash,
+    # bands) and feeds all four consumers: banding (bands), Jaccard verify
+    # + containment (txt_norm), phash (phash).
+    slim = normalize_signatures_bands(
+        slim, text_col="caption", cfg=cfg, out_text_col="txt_norm"
+    )
     if persist:
         # slim feeds three detector branches (minhash, phash, containment) —
         # persist AND materialize eagerly: the branches fan out inside one
@@ -128,16 +138,10 @@ def dedup_pipeline(
     hot_par = par if n_valid is None else max(par, n_valid // 50_000)
 
     try:
-        # signatures stream straight into banding (their only consumer since
-        # Jaccard verification recomputes shingles from candidate texts) — no
-        # persist: caching 1 KB/row of array data costs more than the kernel
-        sigs = with_signatures(
-            slim, text_col="txt_norm", cfg=cfg, keep_shingles=False,
-            assume_normalized=True, repartition=False,  # slim is already rebalanced
-            with_bands=True,  # bucket keys computed in the kernel (band_keys_np)
-        )
-
-        buckets = band_buckets(sigs, id_col="nid", cfg=cfg, bands_col="bands")
+        # banding is a plain posexplode of the persisted projection's
+        # precomputed band keys (no signature stage exists anymore — see the
+        # fused kernel above)
+        buckets = band_buckets(slim, id_col="nid", cfg=cfg, bands_col="bands")
         # registry-managed persists for the three detectors' shared subtrees
         # (banded bucket rows, phash block rows, container gram rows): each is
         # referenced by BOTH a size-count branch and a join branch, and without
@@ -238,7 +242,7 @@ def dedup_pipeline(
         return PipelineResult(
             labels=labels,
             edges=edges,
-            signatures=sigs,
+            signatures=slim,
             metrics={
                 "skew": skew_metrics,
                 "config_hash": cfg.config_hash(),
