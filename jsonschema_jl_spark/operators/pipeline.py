@@ -172,12 +172,20 @@ def dedup_pipeline(
                 "src", "dst", F.lit("caption").alias("kind")
             )
 
-            edge_parts = [caption_edges]
+            # P10 union carries the kind as its PRIORITY INT (caption=0 <
+            # phash=1 < substring=2), not the string: the per-pair dedup
+            # below is then agg(min(int)) — a primitive-buffer HashAggregate
+            # — where min(struct(pri, kind)) forced a SortAggregate that
+            # SORTED every edge row on both sides of its exchange (the
+            # struct min has no mutable-buffer implementation).  The string
+            # kind is re-derived from the int after the agg; semantics
+            # (keep first by priority, deterministically) are unchanged.
+            edge_parts = [caption_edges.select("src", "dst", F.lit(0).alias("pri"))]
             if use_phash:
                 edge_parts.append(
                     phash_pairs(slim, id_col="nid", cfg=cfg,
                                 cache_registry=op_caches, num_partitions=hot_par).select(
-                        "src", "dst", F.lit("phash").alias("kind")
+                        "src", "dst", F.lit(1).alias("pri")
                     )
                 )
             if use_containment:
@@ -187,20 +195,20 @@ def dedup_pipeline(
                         assume_normalized=True, cache_registry=op_caches,
                         num_partitions=hot_par,
                     ).select(
-                        "src", "dst", F.lit("substring").alias("kind")
+                        "src", "dst", F.lit(2).alias("pri")
                     )
                 )
             edges = edge_parts[0]
             for e in edge_parts[1:]:
                 edges = edges.unionByName(e)
-            # P10: one edge per unordered pair (kinds may overlap; keep first by
-            # priority caption < phash < substring deterministically)
-            edges = edges.withColumn(
-                "pri", F.when(F.col("kind") == "caption", 0).when(F.col("kind") == "phash", 1).otherwise(2)
-            )
             edges = (
-                edges.groupBy("src", "dst").agg(F.min(F.struct("pri", "kind")).alias("k"))
-                .select("src", "dst", F.col("k.kind").alias("kind"))
+                edges.groupBy("src", "dst").agg(F.min("pri").alias("pri"))
+                .select(
+                    "src", "dst",
+                    F.when(F.col("pri") == 0, "caption")
+                    .when(F.col("pri") == 1, "phash")
+                    .otherwise("substring").alias("kind"),
+                )
             )
             # P10 materialization: CC symmetrizes edges as `edges UNION
             # edges.swapped` — the edge subtree appears TWICE under that union,
