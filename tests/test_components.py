@@ -151,3 +151,54 @@ def test_shuffle_partitions_scoped_not_session_global(spark):
     # exchange — repartition + agg — must be edge-sized
     counts = {int(n) for n in seen["loop"]}
     assert cc_par in counts and counts <= {cc_par, session_par}, counts
+
+
+def test_twophase_shuffle_partitions_scoped(spark):
+    """connected_components_twophase(shuffle_partitions=...) (round 6):
+    the large/small-star loop's exchanges are edge-sized per-plan, a
+    concurrent aggregation planned mid-loop keeps the session count, and
+    labels are identical to the unscoped run."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_jl_spark.operators.components import (
+        connected_components_twophase,
+    )
+
+    session_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_par = 3
+    assert session_par != cc_par
+    seen: dict = {"concurrent": [], "loop": []}
+
+    def probing_cp(df, i):
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == session_par
+        q = spark.range(100).groupBy((F.col("id") % 7).alias("k")).count()
+        qplan = q._jdf.queryExecution().executedPlan().toString()
+        seen["concurrent"] += re.findall(r"hashpartitioning\([^)]*?(\d+)\)", qplan)
+        if i > 0:
+            lplan = df._jdf.queryExecution().executedPlan().toString()
+            seen["loop"] += re.findall(r"hashpartitioning\([^)]*?(\d+)\)", lplan)
+        return df.localCheckpoint(eager=True)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "src long, dst long"
+    )
+    out = connected_components_twophase(
+        edges, shuffle_partitions=cc_par, checkpoint_fn=probing_cp
+    )
+    scoped = {(r.id, r.component) for r in out.collect()}
+    unscoped = {
+        (r.id, r.component)
+        for r in connected_components_twophase(edges).collect()
+    }
+    assert scoped == unscoped
+    assert (1, 0) in scoped and (40, 40) not in scoped
+    assert seen["concurrent"] and all(
+        int(n) == session_par for n in seen["concurrent"]
+    ), seen["concurrent"]
+    # every loop exchange (scoped repartitions + the aggs/dedups reusing
+    # them) is edge-sized; the eager checkpoint truncates lineage so no
+    # session-sized setup exchange should survive in the probed plans
+    counts = {int(n) for n in seen["loop"]}
+    assert counts == {cc_par}, counts

@@ -382,3 +382,21 @@ def test_fuzz_differential_native_vs_walk(spark):
             parts.append(f'"{key}": {rng.choice(vals)}')
         docs.append("{" + ", ".join(parts) + "}")
     _diff(spark, schema, docs)
+
+
+def test_pattern_class_dialect_admission():
+    """Round-6 fix: character classes whose meaning differs between Python
+    `re` (the exact walk) and Java `Pattern` (rlike) must NOT be admitted
+    to the native path — '[' inside an open class is a Python literal but
+    a Java nested-class union; class-leading ']' is a Python literal but a
+    Java compile error."""
+    def schema_with(pattern):
+        return {"type": "object",
+                "properties": {"s": {"type": "string", "pattern": pattern}}}
+
+    # divergent shapes walk
+    for bad in ("[a[b]]", "[]a]", "[^]a]", "[ab", "a]["):
+        assert plan_dynamic(schema_with(bad)) is None, bad
+    # dialect-identical classes stay native
+    for ok in ("^a[b-d]+$", "x[0-9]?y", "[abc]|[de]", "a]b", "plain"):
+        assert plan_dynamic(schema_with(ok)) is not None, ok
