@@ -195,6 +195,13 @@ def suffix_array_containment(
 ) -> DataFrame:
     """Reference-style distributed suffix-array pass.
 
+    ADMISSION BOUND (SCALE.md round 6): this kernel is the small-scale
+    CROSS-CHECK for `containment_pairs`, not an alternative at scale — the
+    per-probe searchsorted loop is row-at-a-time inside each range
+    partition and exploded-suffix volume is O(total_chars *
+    max_contained_len) bytes.  Use up to ~10^6 documents at cap 1024;
+    beyond that, `containment_pairs` is the only supported path.
+
     Suffix keys are range-partitioned on their leading anchor_gram chars;
     each partition lexsorts its suffixes into a suffix array and resolves
     every probe with two `np.searchsorted` calls — a suffix starts with

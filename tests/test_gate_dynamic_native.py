@@ -400,3 +400,52 @@ def test_pattern_class_dialect_admission():
     # dialect-identical classes stay native
     for ok in ("^a[b-d]+$", "x[0-9]?y", "[abc]|[de]", "a]b", "plain"):
         assert plan_dynamic(schema_with(ok)) is not None, ok
+
+
+def test_suite_differential_native_vs_walk(spark):
+    """Round-6 (VERDICT ask #6): every vendored-suite schema that
+    plan_dynamic admits runs its group's cases through BOTH the native
+    variant backend and the exact walk via gate_filter; kept-row sets must
+    be identical.  The admitted rate is reported so shrinkage of the native
+    subset is visible."""
+    import json
+    import os
+
+    from jsonschema_jl_spark.gate.gate import gate_filter
+
+    fixture_dir = os.path.join(os.path.dirname(__file__), "fixtures")
+    groups = []
+    for name in ("suite_cases.json", "suite_cases_extra.json"):
+        with open(os.path.join(fixture_dir, name), encoding="utf-8") as fh:
+            groups.extend(json.load(fh))
+
+    admitted = 0
+    checked_cases = 0
+    for g in groups:
+        plan = plan_dynamic(g["schema"])
+        if plan is None:
+            continue
+        admitted += 1
+        rows = [
+            (i, json.dumps(t["data"]), bool(t["valid"]))
+            for i, t in enumerate(g["tests"])
+        ]
+        df = spark.createDataFrame(rows, "i int, js string, valid boolean")
+        walk = {r.i for r in gate_filter(df, g["schema"], json_col="js").collect()}
+        native = {
+            r.i for r in gate_filter(
+                df, g["schema"], json_col="js", dynamic_native=True
+            ).collect()
+        }
+        expect = {i for i, _, v in rows if v}
+        assert native == walk == expect, (
+            g["description"], sorted(native), sorted(walk), sorted(expect)
+        )
+        checked_cases += len(rows)
+    rate = admitted / len(groups)
+    print(f"\nnative-admitted {admitted}/{len(groups)} groups "
+          f"({rate:.1%}), {checked_cases} cases verdict-identical")
+    # the suite is dominated by array/object/$ref groups the native path
+    # deliberately refuses; the flat-scalar subset (9 groups at round 6)
+    # must not silently vanish
+    assert admitted >= 8
